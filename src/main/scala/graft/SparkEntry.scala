@@ -1,13 +1,272 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.Tables
+import graft.temporal.Temporal
+import graft.text.TextOps
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.prebin.Quantiles
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2 + §2.10), with DuckDB-equivalent `oracleSql` where the
+  * semantics are ANSI-SQL-expressible. Column names and integer/double
+  * types are aligned between both sides (money aggregated as integer
+  * cents so float summation order can never flip a hash).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: as-of join of non-purchase events to the latest preceding
+    * purchase per user on sf0.001 (driver smoke-checks rows > 0).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_asof_join")(spark, "/root/testdata/sf0.001")
+
+  /** Integer-cents column: exact, order-independent aggregation. */
+  private def cents(c: String): org.apache.spark.sql.Column =
+    round(col(c) * 100).cast("long")
+
+  /** documents plus deterministic near-duplicates (doc_id+1000000, text
+    * truncated by 20 chars) — gives the near-dup operators guaranteed
+    * positive pairs on purely synthetic data.
+    */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val dups = d
+      .filter(col("doc_id") < 50)
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", expr("substring(text, 1, greatest(length(text) - 20, 1))"))
+    d.unionByName(dups)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------------------------------------------------- aggregation
+    "q1_agg" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents("l_quantity")).as("sum_qty_c"),
+          sum(cents("l_extendedprice")).as("sum_base_c"),
+          sum(cents("l_extendedprice") * (lit(100L) - cents("l_discount"))).as("sum_disc_c2"),
+          count(lit(1)).as("n")
+        )
+    }),
+    "q2_join_agg" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), sum(cents("o_totalprice")).as("revenue_c"))
+    }),
+    "q3_topk" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      joined
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"), cents("o_totalprice").as("price_c"))
+    }),
+    // ------------------------------------------------------------- temporal
+    "q_lag_lead" -> ((s, dir) => {
+      Temporal
+        .lagLead(Tables.events(s, dir), Seq("user_id"), Seq("ts", "event_id"), "value")
+        .select(col("event_id"), col("user_id"), col("value_lag1"), col("value_lead1"))
+    }),
+    "q_sessionize" -> ((s, dir) => {
+      Temporal
+        .sessionize(Tables.events(s, dir), Seq("user_id"), "ts", 1800L, Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("session_id"))
+    }),
+    "q_backfill" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+      Temporal
+        .backfill(e, Seq("user_id"), "ts", Seq("pv"), Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("pv_filled"))
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val probe = e.filter(col("event_type") =!= "purchase")
+      val build = e.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("bts"))
+        .agg(max(col("value")).as("bvalue"))
+      Temporal
+        .asOfJoin(probe, build, Seq("user_id"), "ts", "bts", Seq("bvalue"))
+        .select(
+          col("event_id"), col("user_id"), col("bvalue"),
+          unix_micros(col("matched_ts").cast("timestamp")).as("matched_us")
+        )
+    }),
+    "q_tumbling" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(
+          col("event_type"),
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start")
+        )
+        .agg(count(lit(1)).as("n"), sum(cents("value")).as("value_c"))
+    }),
+    "q_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir)
+        .withColumn("roll_c", sum(cents("value")).over(w))
+        .select(col("event_id"), col("user_id"), col("roll_c"))
+    }),
+    // ---------------------------------------------------------------- dedup
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      Dedup
+        .minhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.withSimhash(Tables.documents(s, dir), "text").select(col("doc_id"), col("simhash"))),
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 7)),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      // the production shape: LSH candidates -> exact-jaccard verification
+      val docs = docsWithNearDups(s, dir)
+      val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
+        .select(col("id_a"), col("id_b"))
+      Dedup.verifyPairsJaccard(cands, docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
+    // ----------------------------------------------------------------- text
+    "q_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))),
+    "q_text_quality" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("char_len"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.punctCount(col("text")).as("punct_cnt"),
+        TextOps.digitCount(col("text")).as("digit_cnt"),
+        TextOps.stopwordCountCol(col("text")).as("stop_cnt"),
+        round(TextOps.meanTokenLen(col("text")), 6).as("mean_tok_len")
+      )),
+    "q_quality_score" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))),
+    "q_lang_id" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))),
+    "q_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    // ----------------------------------------------------------- similarity
+    "q_knn_brute" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.bruteTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5)
+    }),
+    "q_knn_lsh" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5, nBits = 4)
+    }),
+    // --------------------------------------------------------------- prebin
+    "q_prebin_quantiles" -> ((s, dir) =>
+      Quantiles.exactEdgesDF(Tables.documents(s, dir), "n_chars", 20))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+         CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+         CAST(SUM(CAST(round(l_extendedprice*100,0) AS BIGINT) * (100 - CAST(round(l_discount*100,0) AS BIGINT))) AS BIGINT) AS sum_disc_c2,
+         count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q2_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+         CAST(SUM(CAST(round(o_totalprice*100,0) AS BIGINT)) AS BIGINT) AS revenue_c
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+    "q3_topk" ->
+      """SELECT c_mktsegment, rnk, o_orderkey, price_c FROM (
+           SELECT c_mktsegment,
+             row_number() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk,
+             o_orderkey, CAST(round(o_totalprice*100,0) AS BIGINT) AS price_c
+           FROM orders JOIN customer ON o_custkey = c_custkey
+         ) WHERE rnk <= 3""",
+    "q_lag_lead" ->
+      """SELECT event_id, user_id,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lag1,
+         lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS value_lead1
+         FROM events""",
+    "q_sessionize" ->
+      """SELECT event_id, user_id,
+         CAST(sum(CASE WHEN prev IS NOT NULL AND epoch_us(ts) - prev > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         FROM (SELECT event_id, user_id, ts,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM events)""",
+    "q_backfill" ->
+      """SELECT event_id, user_id,
+         last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_filled
+         FROM events""",
+    "q_asof_join" ->
+      """SELECT p.event_id, p.user_id, b.bvalue, epoch_us(b.bts) AS matched_us
+         FROM (SELECT * FROM events WHERE event_type <> 'purchase') p
+         ASOF LEFT JOIN (SELECT user_id, ts AS bts, max(value) AS bvalue
+                         FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) b
+         ON p.user_id = b.user_id AND p.ts >= b.bts""",
+    "q_tumbling" ->
+      """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+         count(*) AS n, CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_c
+         FROM events GROUP BY 1, 2""",
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+         CAST(sum(CAST(round(value*100,0) AS BIGINT))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_c
+         FROM events""",
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS keeper_id
+         FROM documents GROUP BY md5(text)""",
+    "q_token_count" ->
+      """SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens
+         FROM documents""",
+    "q_text_quality" ->
+      """SELECT doc_id,
+         length(text) AS char_len,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct_cnt,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS digit_cnt,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> x IN ('the','a','of','and','to','in','is','it','on','for'))) AS stop_cnt,
+         round((length(trim(text)) - (CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END - 1)) * 1.0
+           / greatest(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END, 1), 6) AS mean_tok_len
+         FROM documents""",
+    "q_knn_brute" ->
+      """SELECT qid, nid, rank, cos_sim FROM (
+           SELECT q.vec_id AS qid, c.vec_id AS nid,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) DESC,
+                        c.vec_id ASC) AS rank,
+             round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])), 4) AS cos_sim
+           FROM embeddings q, embeddings c
+           WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+         ) WHERE rank <= 5""",
+    "q_prebin_quantiles" ->
+      """WITH hist AS (SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS cnt
+                       FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+         cum AS (SELECT v, sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+         tot AS (SELECT count(*) AS n FROM documents WHERE n_chars IS NOT NULL),
+         probs AS (SELECT unnest(range(1, 20)) AS p_idx)
+         SELECT p_idx, min(v) AS edge
+         FROM probs, tot, cum
+         WHERE cum >= CAST(floor(p_idx * 1.0 / 20 * (n - 1)) AS BIGINT) + 1
+         GROUP BY p_idx"""
+  )
 }

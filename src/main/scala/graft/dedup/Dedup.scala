@@ -1,0 +1,284 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** Deduplication operators for web-scale corpora: exact (hash-groupBy),
+  * MinHash+LSH, SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale notes (the 100 TB story):
+  *  - exact dedup is one hash-partitioned groupBy on a 128-bit digest —
+  *    shuffle carries (digest, id) only, never the text;
+  *  - MinHash signatures are computed scan-side (one pass over text),
+  *    then only (band_hash, id) pairs shuffle — k·bands longs per doc;
+  *  - candidate pairs are generated per LSH bucket; bucket size is capped
+  *    to keep the quadratic pair fan-out bounded on pathological buckets
+  *    (boilerplate pages), mirroring production near-dup pipelines;
+  *  - exact Jaccard verification re-joins texts only for candidate pairs
+  *    (a tiny fraction of the corpus).
+  */
+object Dedup {
+
+  /** Exact duplicate groups: md5 of the raw text. Returns one row per
+    * distinct text with the keeper id (min), duplicate count, and the
+    * sorted duplicate id list.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_md5"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        min(col(idCol)).as("keeper_id")
+      )
+
+  /** Keep one row per distinct text (min id wins) — the applied form of
+    * exactGroups. Window-free formulation: semi join on the keeper set.
+    */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol).asc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Deterministic 64-bit mix (splitmix64 finalizer) — the seed expander
+    * for the MinHash permutation family. Pure, no RNG object.
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** MinHash permutation parameters (a_i odd multiplier, b_i offset). */
+  def perms(numHashes: Int, seed: Long = 42L): Array[(Long, Long)] =
+    Array.tabulate(numHashes) { i =>
+      (mix64(seed + 2L * i) | 1L, mix64(seed + 2L * i + 1))
+    }
+
+  /** MinHash signature of a set of shingle hashes. Pure Scala — used by the
+    * signature UDF and directly unit-testable.
+    */
+  def minhashSig(shingleHashes: Iterator[Long], numHashes: Int, seed: Long = 42L): Array[Long] = {
+    val ps = perms(numHashes, seed)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingleHashes.foreach { h =>
+      var i = 0
+      while (i < numHashes) {
+        val v = ps(i)._1 * h + ps(i)._2
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** 64-bit FNV-1a over a string — shingle hash shared by minhash/simhash. */
+  def fnv1a(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  def shingleHashes(text: String, k: Int): Iterator[Long] = {
+    val t = if (text == null) "" else text.toLowerCase.trim
+    if (t.length < k) Iterator.empty
+    else (0 to t.length - k).iterator.map(i => fnv1a(t.substring(i, i + k))).toSet.iterator
+  }
+
+  /** Add a `minhash` column: Array[Long] signature from k-char shingles. */
+  def withMinhash(
+      df: DataFrame,
+      textCol: String,
+      numHashes: Int = 64,
+      shingleK: Int = 5,
+      seed: Long = 42L
+  ): DataFrame = {
+    val f = udf((s: String) => minhashSig(shingleHashes(s, shingleK), numHashes, seed))
+    df.withColumn("minhash", f(col(textCol)))
+  }
+
+  /** LSH candidate pairs: band the signature, bucket-join within bands,
+    * emit unordered id pairs (a < b) with the estimated Jaccard from full
+    * signature agreement. `maxBucket` caps pathological buckets.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleK: Int = 5,
+      seed: Long = 42L,
+      maxBucket: Int = 1000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sigDf = withMinhash(df, textCol, numHashes, shingleK, seed)
+      .select(col(idCol).as("id"), col("minhash"))
+      .withColumn(
+        "band",
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band_idx"), xxhash64(slice(col("minhash"), b * rows + 1, lit(rows))).as("band_hash"))
+        ))
+      )
+      .select(col("id"), col("minhash"), col("band.band_idx"), col("band.band_hash"))
+
+    // bucket = (band_idx, band_hash); cap bucket size, emit intra-bucket pairs
+    val bucketed = sigDf
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("id")))
+      )
+      .filter(col("rn") <= maxBucket)
+    val a = bucketed.select(col("band_idx"), col("band_hash"), col("id").as("id_a"), col("minhash").as("mh_a"))
+    val b = bucketed.select(col("band_idx"), col("band_hash"), col("id").as("id_b"), col("minhash").as("mh_b"))
+    val paired = a
+      .join(b, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(
+        col("id_a"),
+        col("id_b"),
+        (size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => (x === y).cast("int")), v => v === 1))
+          .cast("double") / lit(numHashes.toDouble)).as("est_jaccard")
+      )
+    paired.groupBy("id_a", "id_b").agg(first("est_jaccard").as("est_jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over whitespace tokens (FNV-1a token hashes, unit
+    * weights). Pure Scala core.
+    */
+  def simhashOf(text: String): Long = {
+    if (text == null || text.trim.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    text.toLowerCase.trim.split("\\s+").foreach { tok =>
+      val h = fnv1a(tok)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def withSimhash(df: DataFrame, textCol: String): DataFrame = {
+    val f = udf((s: String) => simhashOf(s))
+    df.withColumn("simhash", f(col(textCol)))
+  }
+
+  /** SimHash near-dup candidates at Hamming distance <= maxHamming, found
+    * by banding the 64-bit hash into (maxHamming+1) chunks (pigeonhole: any
+    * pair within the bound agrees on at least one chunk exactly).
+    */
+  def simhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val sigDf = withSimhash(df, textCol).select(col(idCol).as("id"), col("simhash"))
+    val bandStructs = (0 until chunks).map { c =>
+      struct(
+        lit(c).as("band_idx"),
+        shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1)).as("band_key")
+      )
+    }
+    val banded = sigDf
+      .withColumn("band", explode(array(bandStructs: _*)))
+      .select(col("id"), col("simhash"), col("band.band_idx"), col("band.band_key"))
+    val a = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = banded.select(col("band_idx"), col("band_key"), col("id").as("id_b"), col("simhash").as("sh_b"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(first("hamming").as("hamming"))
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Exact char-shingle Jaccard for given candidate pairs: joins the two
+    * texts back in and computes |A∩B|/|A∪B| of the k-shingle sets per
+    * row. This is the verification stage run after LSH candidate
+    * generation — it touches only candidate pairs, never the full corpus
+    * cross product.
+    */
+  def verifyPairsJaccard(
+      pairs: DataFrame, // (id_a, id_b)
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 5
+  ): DataFrame = {
+    val jac = udf { (a: String, b: String) =>
+      val sa = shingleHashes(a, shingleK).toSet
+      val sb = shingleHashes(b, shingleK).toSet
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else (sa & sb).size.toDouble / (sa | sb).size.toDouble
+    }
+    val texts = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    pairs
+      .join(texts.withColumnRenamed("__id", "id_a").withColumnRenamed("__text", "text_a"), Seq("id_a"))
+      .join(texts.withColumnRenamed("__id", "id_b").withColumnRenamed("__text", "text_b"), Seq("id_b"))
+      .withColumn("jaccard", round(jac(col("text_a"), col("text_b")), 6))
+      .drop("text_a", "text_b")
+  }
+
+  /** Exact word n-gram Jaccard similarity for all pairs sharing at least
+    * one n-gram (inverted-index join; rare-gram pruning via maxPostings).
+    * At corpus scale run [[verifyPairsJaccard]] on LSH candidates instead —
+    * this all-pairs form is quadratic in posting-list length.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.0,
+      maxPostings: Int = 10000
+  ): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val grams = df
+      .select(
+        col(idCol).as("id"),
+        array_distinct(
+          when(size(toks) < n, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
+              concat_ws(" ", slice(toks, i + 1, lit(n)))
+            ))
+        ).as("grams")
+      )
+    val sizes = grams.select(col("id"), size(col("grams")).cast("long").as("n_grams"))
+    val posting = grams
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .withColumn("pn", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .filter(col("pn") <= maxPostings)
+    val inter = posting.select(col("gram"), col("id").as("id_a"))
+      .join(posting.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_grams", "na"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_grams", "nb"), Seq("id_b"))
+      .withColumn("jaccard", col("n_inter").cast("double") / (col("na") + col("nb") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("n_inter"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a web-scale training-data pipeline:
+  * token counting, quality scoring, language-ID heuristic, document
+  * fingerprinting. All are built from codegen'd `functions._` expressions
+  * (no Scala UDF in the hot path except langId, which is a pure
+  * per-row scorer) so they pipeline inside a single scan stage.
+  */
+object TextOps {
+
+  /** Whitespace token count; 0 for empty/blank strings. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+
+  /** Character count of non-[a-zA-Z0-9\s] characters (punctuation-ish). */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("long")
+
+  def digitCount(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("long")
+
+  def upperCount(text: Column): Column =
+    length(regexp_replace(text, "[^A-Z]", "")).cast("long")
+
+  /** Mean token length = (chars − separators) / tokens, null-safe. */
+  def meanTokenLen(text: Column): Column = {
+    val n = tokenCount(text)
+    when(n === 0, lit(0.0))
+      .otherwise((length(trim(text)) - (n - 1)).cast("double") / n.cast("double"))
+  }
+
+  /** Ratio of stopword tokens (tiny fixed English list) to all tokens. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** Count of tokens that are in `stopwords`. Uses higher-order functions
+    * (codegen'd ArrayFilter), no UDF.
+    */
+  def stopwordCountCol(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(filter(split(trim(lower(text)), "\\s+"), t => t.isin(stopwords: _*))).cast("long"))
+
+  /** Composite quality score in [0,1]: favors mid-length docs with low
+    * punctuation density and a sane stopword rate. Deterministic and
+    * fully column-expressed; thresholds follow common web-text heuristics
+    * (Gopher-style length/symbol gates).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text).cast("double"), lit(1.0))
+    val punctScore = greatest(lit(1.0) - punctRatio * 5.0, lit(0.0))
+    val stopRatio = stopwordCountCol(text).cast("double") / greatest(nTok, lit(1.0))
+    val stopScore = when(stopRatio.between(0.05, 0.6), lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
+  }
+
+  /** 64-bit document fingerprint: xxhash64 (Spark-builtin, codegen'd,
+    * seed 42) over the normalized text. For near-dup shingle hashing see
+    * [[graft.dedup.Dedup]].
+    */
+  def fingerprint(text: Column): Column = xxhash64(trim(lower(text)))
+
+  /** Language-ID heuristic: score the token stream against per-language
+    * marker-word profiles; emit the argmax language or "und" when nothing
+    * matches. Marker lists are tiny and fixed, so the scorer is a pure
+    * function String => String evaluated per row.
+    */
+  val langMarkers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "is", "it", "for", "with", "that", "this"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"),
+    "fr" -> Set("le", "la", "les", "et", "est", "pas", "une", "pour", "que", "des"),
+    "es" -> Set("el", "la", "los", "las", "es", "una", "por", "que", "con", "para"),
+    "it" -> Set("il", "lo", "la", "che", "non", "per", "una", "sono", "del", "con"),
+    "pt" -> Set("o", "os", "um", "uma", "que", "com", "para", "mais", "dos", "das")
+  )
+
+  /** Pure scorer used by the langId column (and unit-testable without Spark). */
+  def langIdOf(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    val toks = text.toLowerCase.split("\\s+")
+    if (toks.isEmpty) return "und"
+    var best = "und"
+    var bestScore = 0
+    // deterministic order: sorted language codes
+    langMarkers.toSeq.sortBy(_._1).foreach { case (lang, markers) =>
+      var s = 0
+      var i = 0
+      while (i < toks.length) { if (markers.contains(toks(i))) s += 1; i += 1 }
+      if (s > bestScore) { bestScore = s; best = lang }
+    }
+    best
+  }
+
+  def langId(text: Column): Column = {
+    val f = udf((s: String) => langIdOf(s))
+    f(text)
+  }
+
+  /** Character n-grams (shingles) of the normalized text; the near-dup
+    * building block. Column-expressed via transform over a 0..len-k index
+    * sequence (no UDF).
+    */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = trim(lower(text))
+    when(length(t) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - (k - 1)), i => t.substr(i, lit(k))))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.dedup
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again"),       // near dup of 1
+    (4L, "completely different content about distributed query engines at scale"),
+    (5L, "")
+  ).toDF("id", "text")
+
+  test("exactGroups groups identical texts and keeps min id") {
+    val g = Dedup.exactGroups(docs, "id", "text")
+      .filter(col("n_dups") > 1).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_dups") == 2 && g(0).getAs[Long]("keeper_id") == 1L)
+    assert(Dedup.dropExactDuplicates(docs, "id", "text").count() == 4)
+  }
+
+  test("minhash signature is deterministic and jaccard-faithful") {
+    val s1 = Dedup.minhashSig(Dedup.shingleHashes("the quick brown fox jumps over the lazy dog", 5), 64)
+    val s2 = Dedup.minhashSig(Dedup.shingleHashes("the quick brown fox jumps over the lazy dog", 5), 64)
+    assert(s1.sameElements(s2))
+    val s3 = Dedup.minhashSig(Dedup.shingleHashes("totally unrelated string with nothing shared", 5), 64)
+    val estSame = s1.zip(s3).count { case (a, b) => a == b } / 64.0
+    assert(estSame < 0.2)
+  }
+
+  test("minhash LSH finds exact and near duplicates") {
+    val pairs = Dedup.minhashCandidatePairs(docs, "id", "text")
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash hamming distance small for near dups, large for different docs") {
+    val h1 = Dedup.simhashOf(docs.filter($"id" === 1).head().getString(1))
+    val h3 = Dedup.simhashOf(docs.filter($"id" === 3).head().getString(1))
+    val h4 = Dedup.simhashOf(docs.filter($"id" === 4).head().getString(1))
+    assert(java.lang.Long.bitCount(h1 ^ h3) <= 8)
+    assert(java.lang.Long.bitCount(h1 ^ h4) > 8)
+  }
+
+  test("ngram jaccard: exact dup = 1.0; near dup high; different low") {
+    val m = Dedup.ngramJaccardPairs(docs, "id", "text", n = 3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m((1L, 3L)) > 0.6)
+    assert(!m.contains((1L, 4L)))
+  }
+}
