@@ -169,8 +169,35 @@ object SparkEntry {
     }),
     // --------------------------------------------------------------- prebin
     "q_prebin_quantiles" -> ((s, dir) =>
-      Quantiles.exactEdgesDF(Tables.documents(s, dir), "n_chars", 20))
+      Quantiles.exactEdgesDF(Tables.documents(s, dir), "n_chars", 20)),
+    // --------------------------------------------------------------- carver
+    "q_carve_fit" -> ((s, dir) => {
+      val m = carveDocs(s, dir)
+      val rows = m.kept.flatMap(f => f.rates.zipWithIndex.map { case (r, i) =>
+        (f.name, i.toLong, f.binLabels(i), BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+      })
+      import s.implicits._
+      rows.toDF("feature", "bin", "bin_label", "rate", "n")
+    }),
+    "q_carve_transform" -> ((s, dir) => {
+      val m = carveDocs(s, dir)
+      m.transform(Tables.documents(s, dir).withColumn("y", docLabel), keepOriginal = true)
+        .select(col("doc_id") +: m.kept.map(f => col(s"${f.name}_bin")): _*)
+    })
   )
+
+  /** deterministic binary label over documents for the carver queries */
+  private def docLabel = when(col("n_chars") > 300, lit(1)).otherwise(lit(0))
+
+  private def carveDocs(s: SparkSession, dir: String): graft.carve.BinaryCarver.Model = {
+    import graft.carve.BinaryCarver
+    val df = Tables.documents(s, dir).withColumn("y", docLabel)
+    BinaryCarver.fit(df, "y", Seq(
+      BinaryCarver.FeatureSpec("n_chars", "quantitative"),
+      BinaryCarver.FeatureSpec("lang", "categorical"),
+      BinaryCarver.FeatureSpec("source", "categorical")
+    ))
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->

@@ -1,0 +1,401 @@
+package graft.carve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Supervised optimal discretization of numeric + categorical features
+  * against a binary target — the Spark-native re-expression of the
+  * reference's BinaryCarver (`carvers/binary_carver.py`,
+  * `carvers/utils/base_carver.py:456-577`).
+  *
+  * Cluster/driver split (SURVEY.md §3.1): fit makes exactly ONE pass over
+  * the train table — `groupBy(feature, value).agg(count, sum(y))` in long
+  * form — and one over the dev table. The collected per-value histograms
+  * (bounded by column cardinality, not row count) feed every driver-side
+  * algorithm: frequency-aware quantile pre-binning at min_freq/2, rare
+  * quantile merge, categorical rare→__OTHER__ + target-rate sort, and the
+  * progressive top-K chi² DP search with Wilson/distinct/rank-order vetoes.
+  * Transform is a pure projection (no shuffle): binary-searched bucketize
+  * for numerics, broadcast map for categoricals.
+  *
+  * High-cardinality note (the 10¹²-row path): the exact histogram collect
+  * is guarded by `maxHistogramRows`; columns beyond it need the sketch
+  * path (approxQuantile pre-bin + second prebin-level aggregation pass) —
+  * see SURVEY.md §7.4 "quantile parity at scale".
+  */
+object BinaryCarver {
+  val NanLabel = "__NAN__"
+  val OtherLabel = "__OTHER__"
+
+  final case class FeatureSpec(name: String, kind: String) // "quantitative" | "categorical"
+
+  final case class FittedFeature(
+      name: String,
+      kind: String,
+      prebinEdges: Vector[Double],        // quantitative: ascending, no +inf cap
+      prebinToBin: Vector[Int],           // quantitative: prebin idx -> final bin
+      valueToBin: Map[String, Int],       // categorical: raw value -> final bin
+      nanBin: Int,                        // final bin of NaN (-1 if none observed)
+      otherBin: Int,                      // categorical default bucket (-1 if none)
+      hasNan: Boolean,
+      hasDefault: Boolean,
+      binLabels: Vector[String],
+      cramerv: Double,
+      tschuprowt: Double,
+      rates: Vector[Search.RateRow],
+      dropped: Boolean,
+      droppedReason: String
+  ) {
+    def nBins: Int = binLabels.length
+  }
+
+  final case class Model(
+      target: String,
+      minFreq: Double,
+      maxNMod: Int,
+      sortBy: String,
+      features: Vector[FittedFeature]
+  ) {
+    def kept: Vector[FittedFeature] = features.filterNot(_.dropped)
+
+    /** Scoring path (reference `base_discretizer.transform`): replaces each
+      * carved feature column with its ordinal bin code (IntegerType).
+      * Pure projection — no shuffle, codegen-friendly chained conditions.
+      */
+    def transform(df: DataFrame, keepOriginal: Boolean = false): DataFrame = {
+      kept.foldLeft(df) { (d, f) =>
+        val binCol = transformColumn(f, col(f.name))
+        if (keepOriginal) d.withColumn(s"${f.name}_bin", binCol)
+        else d.withColumn(f.name, binCol)
+      }
+    }
+
+    /** Human-readable label variant of transform. */
+    def transformLabels(df: DataFrame): DataFrame =
+      kept.foldLeft(df) { (d, f) =>
+        val labels = f.binLabels
+        val codes = transformColumn(f, col(f.name))
+        val labelExpr = element_at(typedlit(labels), codes + 1)
+        d.withColumn(s"${f.name}_label", labelExpr)
+      }
+
+    private def transformColumn(f: FittedFeature, c: Column): Column =
+      if (f.kind == "quantitative") quantitativeBinExpr(f, c)
+      else categoricalBinExpr(f, c)
+
+    def toJson: String = Json.writeModel(this)
+    def save(path: String): Unit = {
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJson)
+      ()
+    }
+  }
+
+  def load(path: String): Model =
+    Json.readModel(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  /** searchsorted(edges, x, side='left') + final-bin lookup, as a chained
+    * `when` (codegen'd; a custom binary-search Expression is the planned
+    * optimization for >100-edge features).
+    */
+  private def quantitativeBinExpr(f: FittedFeature, c: Column): Column = {
+    val x = c.cast("double")
+    val nanCase =
+      if (f.nanBin >= 0) lit(f.nanBin)
+      else lit(null).cast("int")
+    val base: Column = lit(f.prebinToBin.last) // x > last edge
+    val expr = f.prebinEdges.indices.reverse.foldLeft(base) { (acc, i) =>
+      when(x <= f.prebinEdges(i), lit(f.prebinToBin(i))).otherwise(acc)
+    }
+    when(x.isNull || isnan(x), nanCase).otherwise(expr).cast("int")
+  }
+
+  private def categoricalBinExpr(f: FittedFeature, c: Column): Column = {
+    val nanCase = if (f.nanBin >= 0) lit(f.nanBin) else lit(null).cast("int")
+    val unseen = if (f.otherBin >= 0) lit(f.otherBin) else lit(null).cast("int")
+    val mapped =
+      if (f.valueToBin.isEmpty) unseen
+      else coalesce(element_at(typedlit(f.valueToBin), c.cast("string")), unseen)
+    when(c.isNull, nanCase).otherwise(mapped).cast("int")
+  }
+
+  /** Infer feature kinds from the schema (reference `infer_feature_kind`). */
+  def inferSpecs(df: DataFrame, exclude: Seq[String]): Seq[FeatureSpec] = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.collect {
+      case f if !exclude.contains(f.name) =>
+        f.dataType match {
+          case _: NumericType => Some(FeatureSpec(f.name, "quantitative"))
+          case StringType | BooleanType => Some(FeatureSpec(f.name, "categorical"))
+          case _ => None
+        }
+    }.flatten.toSeq
+  }
+
+  // ------------------------------------------------------------------- fit
+
+  final case class Config(
+      minFreq: Double = 0.02,
+      maxNMod: Int = 5,
+      sortBy: String = "tschuprowt",
+      minFreqAlpha: Double = 0.05,
+      topKInitial: Int = 2000,
+      // reference carver default: stop at the initial top-K (the standalone
+      // evaluator defaults to exhaustive ×4 escalation instead)
+      escalate: Boolean = false,
+      maxHistogramRows: Long = 5000000L
+  )
+
+  def fit(
+      train: DataFrame,
+      target: String,
+      specs: Seq[FeatureSpec],
+      dev: Option[DataFrame] = None,
+      config: Config = Config()
+  ): Model = {
+    require(specs.nonEmpty, "no features to carve")
+    val halfMinFreq = config.minFreq / 2.0
+    val q = math.rint(1.0 / halfMinFreq).toInt
+
+    // ---- single train pass: long-form per-value histogram with y stats
+    val trainHist = histogram(train, target, specs)
+    val histRows = trainHist.values.map(_.length.toLong).sum
+    require(histRows <= config.maxHistogramRows,
+      s"histogram too large ($histRows rows) — use the sketch prebin path for high-cardinality columns")
+
+    val quantSpecs = specs.filter(_.kind == "quantitative")
+    val catSpecs = specs.filter(_.kind == "categorical")
+
+    // total rows (incl. NaN) per feature = sum of histogram counts
+    def totalOf(name: String): Long = trainHist(name).map(_.count).sum
+
+    // ---- driver prebin per feature → search-ready state
+    val prep: Map[String, Prep] = (
+      quantSpecs.map { s => s.name -> prepQuantitative(trainHist(s.name), totalOf(s.name), q, halfMinFreq, config) } ++
+      catSpecs.map { s => s.name -> prepCategorical(trainHist(s.name), totalOf(s.name), halfMinFreq, config) }
+    ).toMap
+
+    // ---- dev pass (same raw-value aggregation, mapped driver-side)
+    val devHist: Option[Map[String, Array[HistRow]]] = dev.map(d => histogram(d, target, specs))
+
+    // ---- per-feature DP search (driver; features are independent)
+    val fitted = specs.toVector.map { spec =>
+      val p = prep(spec.name)
+      val devXagg = devHist.map(h => devXaggOf(spec, p, h.getOrElse(spec.name, Array.empty)))
+      searchFeature(spec, p, devXagg.filter(_.labels.nonEmpty), config)
+    }
+
+    Model(target, config.minFreq, config.maxNMod, config.sortBy, fitted)
+  }
+
+  /** One histogram row: raw value (numeric or string; null = NaN bucket). */
+  final case class HistRow(dv: Double, sv: String, isNull: Boolean, count: Long, sumY: Double)
+
+  /** The one cluster pass: explode features to long form, aggregate
+    * count + sum(y) per (feature, value). Map-side partial aggregation
+    * keeps the shuffle at (features × cardinality) rows.
+    */
+  private def histogram(df: DataFrame, target: String, specs: Seq[FeatureSpec]): Map[String, Array[HistRow]] = {
+    val y = col(target).cast("double")
+    val entries = specs.map { s =>
+      if (s.kind == "quantitative")
+        struct(lit(s.name).as("fid"), col(s.name).cast("double").as("dv"),
+          lit(null).cast("string").as("sv"))
+      else
+        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
+          col(s.name).cast("string").as("sv"))
+    }
+    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"))
+    val agg = long
+      .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("sy"))
+      .collect()
+    val byFid = mutable.Map.empty[String, mutable.ArrayBuffer[HistRow]]
+    agg.foreach { r =>
+      val fid = r.getString(0)
+      val dvNull = r.isNullAt(1)
+      val svNull = r.isNullAt(2)
+      val row = HistRow(
+        if (dvNull) Double.NaN else r.getDouble(1),
+        if (svNull) null else r.getString(2),
+        dvNull && svNull,
+        r.getLong(3),
+        if (r.isNullAt(4)) 0.0 else r.getDouble(4)
+      )
+      byFid.getOrElseUpdate(fid, mutable.ArrayBuffer.empty) += row
+    }
+    byFid.view.mapValues(_.toArray).toMap
+  }
+
+  /** Driver-side search-ready feature state. */
+  final case class Prep(
+      kind: String,
+      prebinEdges: Vector[Double],
+      // maps a raw value to its search label ("m####" leader for quantitative
+      // prebins after rare-merge; value/OTHER for categorical)
+      prebinLeader: Vector[String],     // quantitative: prebin idx -> leader label
+      valueToRaw: Map[String, String],  // categorical: raw value -> raw label
+      rawOrder: Vector[String],         // search label order (without NaN)
+      xagg: Search.Xagg,                // train xagg incl NaN row if present
+      hasNan: Boolean,
+      hasDefault: Boolean
+  )
+
+  private def quantLabel(i: Int): String = f"m$i%04d"
+
+  private def prepQuantitative(hist: Array[HistRow], total: Long, q: Int, halfMinFreq: Double, config: Config): Prep = {
+    val nonNull = hist.filterNot(_.isNull).sortBy(_.dv)
+    val nanCount = hist.filter(_.isNull).map(_.count).sum
+    val nanSumY = hist.filter(_.isNull).map(_.sumY).sum
+    val edges = Prebin.findQuantiles(nonNull.map(_.dv), nonNull.map(_.count), total, q)
+    val nPrebins = edges.length + 1
+    // per-prebin (count, sumY) from the histogram
+    val cnt = new Array[Double](nPrebins)
+    val sy = new Array[Double](nPrebins)
+    nonNull.foreach { r =>
+      val idx = searchsortedLeft(edges, r.dv)
+      cnt(idx) += r.count
+      sy(idx) += r.sumY
+    }
+    val labels = Vector.tabulate(nPrebins)(quantLabel)
+    // rare quantile bins (can exist due to over-represented values): greedy
+    // ordinal merge at halfMinFreq (reference QuantitativeDiscretizer)
+    val hasRare = cnt.exists(c => Stats.isSignificantlyBelow(c, total, halfMinFreq, config.minFreqAlpha))
+    val groups =
+      if (hasRare) Prebin.findCommonModalities(labels, cnt, sy, total, halfMinFreq, config.minFreqAlpha)
+      else labels.map(Vector(_))
+    // leader per prebin + merged stats in group order
+    val leaderOf = groups.flatMap(g => g.map(_ -> g.head)).toMap
+    val order = groups.map(_.head)
+    val pos = labels.zipWithIndex.toMap
+    val gCnt = groups.map(g => g.map(l => cnt(pos(l))).sum).toArray
+    val gSy = groups.map(g => g.map(l => sy(pos(l))).sum).toArray
+    val hasNan = nanCount > 0
+    val xLabels = if (hasNan) order :+ NanLabel else order
+    val n1 = gSy ++ (if (hasNan) Array(nanSumY) else Array.empty[Double])
+    val n0 = gCnt.zip(gSy).map { case (c, s) => c - s } ++
+      (if (hasNan) Array(nanCount - nanSumY) else Array.empty[Double])
+    Prep("quantitative", edges, labels.map(leaderOf), Map.empty, order,
+      Search.Xagg(xLabels, n0, n1), hasNan, hasDefault = false)
+  }
+
+  private def prepCategorical(hist: Array[HistRow], total: Long, halfMinFreq: Double, config: Config): Prep = {
+    val nonNull = hist.filterNot(_.isNull)
+    val nanCount = hist.filter(_.isNull).map(_.count).sum
+    val nanSumY = hist.filter(_.isNull).map(_.sumY).sum
+    val counts = nonNull.map(r => r.sv -> r.count.toDouble).toMap
+    val rare = Prebin.rareCategoricals(counts, total, halfMinFreq, config.minFreqAlpha, NanLabel).toSet
+    val hasDefault = rare.nonEmpty
+    val valueToRaw = nonNull.map(r => r.sv -> (if (rare(r.sv)) OtherLabel else r.sv)).toMap
+    // merged stats per raw label
+    val stats = mutable.LinkedHashMap.empty[String, (Double, Double)]
+    nonNull.foreach { r =>
+      val lbl = valueToRaw(r.sv)
+      val (c, s) = stats.getOrElse(lbl, (0.0, 0.0))
+      stats(lbl) = (c + r.count, s + r.sumY)
+    }
+    val order = Prebin.targetRateOrder(stats.toMap)
+    val hasNan = nanCount > 0
+    val xLabels = if (hasNan) order :+ NanLabel else order
+    val n1 = order.map(l => stats(l)._2).toArray ++ (if (hasNan) Array(nanSumY) else Array.empty[Double])
+    val n0 = order.map(l => stats(l)._1 - stats(l)._2).toArray ++
+      (if (hasNan) Array(nanCount - nanSumY) else Array.empty[Double])
+    Prep("categorical", Vector.empty, Vector.empty, valueToRaw, order,
+      Search.Xagg(xLabels, n0, n1), hasNan, hasDefault)
+  }
+
+  /** Dev histogram → xagg in the train feature's label space. */
+  private def devXaggOf(spec: FeatureSpec, p: Prep, hist: Array[HistRow]): Search.Xagg = {
+    val acc = mutable.LinkedHashMap.empty[String, (Double, Double)]
+    p.xagg.labels.foreach(l => acc(l) = (0.0, 0.0))
+    hist.foreach { r =>
+      val label =
+        if (r.isNull) NanLabel
+        else if (spec.kind == "quantitative") p.prebinLeader(searchsortedLeft(p.prebinEdges, r.dv))
+        else p.valueToRaw.getOrElse(r.sv, if (p.hasDefault) OtherLabel else null)
+      if (label != null) {
+        val (c, s) = acc.getOrElse(label, (0.0, 0.0))
+        acc(label) = (c + r.count, s + r.sumY)
+      }
+    }
+    // drop labels with zero dev mass only if they were unseen additions
+    val labels = acc.keysIterator.toVector
+    Search.Xagg(
+      labels,
+      labels.map(l => acc(l)._1 - acc(l)._2).toArray,
+      labels.map(l => acc(l)._2).toArray
+    )
+  }
+
+  private def searchFeature(spec: FeatureSpec, p: Prep, devXagg: Option[Search.Xagg], config: Config): FittedFeature = {
+    val best = Search.bestCombination(
+      p.xagg, devXagg, config.maxNMod, Some(config.minFreq), config.minFreqAlpha,
+      config.sortBy, p.hasNan, NanLabel, dropna = true,
+      config.topKInitial, config.escalate)
+
+    best match {
+      case None =>
+        FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,
+          -1, -1, p.hasNan, p.hasDefault, Vector.empty, Double.NaN, Double.NaN,
+          Vector.empty, dropped = true, droppedReason = "no viable combination")
+      case Some(b) =>
+        // final bin index per search label
+        val labelToBin: Map[String, Int] =
+          b.combination.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
+        val nanBin = labelToBin.getOrElse(NanLabel, -1)
+        if (p.kind == "quantitative") {
+          val prebinToBin = p.prebinLeader.map(l => labelToBin.getOrElse(l, -1))
+          val binLabels = quantBinLabels(b.combination, p, nanBin)
+          FittedFeature(spec.name, p.kind, p.prebinEdges, prebinToBin, Map.empty,
+            nanBin, -1, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
+            b.rates, dropped = false, droppedReason = "")
+        } else {
+          val valueToBin = p.valueToRaw.collect {
+            case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
+          }
+          val otherBin = labelToBin.getOrElse(OtherLabel, -1)
+          val binLabels = b.combination.map(g => g.mkString(", "))
+          FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
+            nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
+            b.rates, dropped = false, droppedReason = "")
+        }
+    }
+  }
+
+  private def quantBinLabels(combination: Vector[Vector[String]], p: Prep, nanBin: Int): Vector[String] = {
+    val pos = Vector.tabulate(p.prebinEdges.length + 1)(quantLabel).zipWithIndex.toMap
+    combination.zipWithIndex.map { case (g, i) =>
+      val idxs = g.filterNot(_ == NanLabel).flatMap(l =>
+        p.prebinLeader.zipWithIndex.collect { case (leader, pi) if leader == l => pi })
+      val base =
+        if (idxs.isEmpty) ""
+        else {
+          val lo = idxs.min
+          val hi = idxs.max
+          val loStr = if (lo == 0) "-inf" else fmt(p.prebinEdges(lo - 1))
+          val hiStr = if (hi >= p.prebinEdges.length) "+inf" else fmt(p.prebinEdges(hi))
+          s"($loStr, $hiStr]"
+        }
+      if (i == nanBin && base.nonEmpty) s"$base or $NanLabel"
+      else if (i == nanBin) NanLabel
+      else base
+    }
+  }
+
+  private def fmt(d: Double): String = {
+    if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString else f"$d%.6g"
+  }
+
+  /** numpy searchsorted(edges, x, side='left'): count of edges < x …
+    * actually: first index i with edges(i) >= x (bin = (prev, edges(i)]).
+    */
+  def searchsortedLeft(edges: Vector[Double], x: Double): Int = {
+    var lo = 0
+    var hi = edges.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (edges(mid) < x) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+}

@@ -1,0 +1,288 @@
+package graft.carve
+
+import scala.collection.mutable
+
+/** Driver-side combination search for the binary carver: grouping,
+  * target-rate computation, viability vetoes (Wilson min-freq, distinct
+  * consecutive rates, train/dev rank-order), and the progressive top-K DP
+  * walk (`combinations/utils/combination_evaluator.py:519-754` +
+  * `combinations/utils/testing.py`).
+  */
+object Search {
+
+  /** Per-modality (n0, n1) aggregate aligned to an ordered label list —
+    * the binary crosstab ("xagg") collected from the cluster.
+    */
+  final case class Xagg(labels: Vector[String], n0: Array[Double], n1: Array[Double]) {
+    def count(i: Int): Double = n0(i) + n1(i)
+    def nObs: Double = n0.sum + n1.sum
+
+    /** Remove one label's row (reference `AggregatedSamples.dropna`). */
+    def without(label: String): Xagg = {
+      val idx = labels.indexOf(label)
+      if (idx < 0) this
+      else Xagg(
+        labels.patch(idx, Nil, 1),
+        n0.patch(idx, Nil, 1),
+        n1.patch(idx, Nil, 1)
+      )
+    }
+
+    /** Group rows by a combination: leaders ordered by first appearance
+      * over this xagg's label order (reference `_grouper` /
+      * `group_crosstab`). Unmapped labels stay as singletons.
+      */
+    def grouped(indexToGroupby: Map[String, String]): Xagg = {
+      val leaderOrder = mutable.LinkedHashMap.empty[String, Int]
+      val leaders = labels.map(l => indexToGroupby.getOrElse(l, l))
+      leaders.foreach(l => leaderOrder.getOrElseUpdate(l, leaderOrder.size))
+      val g0 = new Array[Double](leaderOrder.size)
+      val g1 = new Array[Double](leaderOrder.size)
+      var i = 0
+      while (i < labels.length) {
+        val g = leaderOrder(leaders(i))
+        g0(g) += n0(i)
+        g1(g) += n1(i)
+        i += 1
+      }
+      Xagg(leaderOrder.keysIterator.toVector, g0, g1)
+    }
+  }
+
+  /** Per-group viability row: rate (TargetMean n1/(n0+n1)), frequency, count. */
+  final case class RateRow(label: String, rate: Double, frequency: Double, count: Double)
+
+  def targetMeanRates(xagg: Xagg): Vector[RateRow] = {
+    val total = xagg.nObs
+    xagg.labels.indices.map { i =>
+      val c = xagg.count(i)
+      RateRow(xagg.labels(i), xagg.n1(i) / c, c / total, c)
+    }.toVector
+  }
+
+  /** No modality Wilson-significantly below minFreq
+    * (`testing.py:_test_minimum_frequency_per_modality`). */
+  def testMinFreq(rates: Vector[RateRow], minFreq: Option[Double], alpha: Double): Boolean =
+    minFreq match {
+      case None => true
+      case Some(mf) =>
+        val nobs = math.round(rates.map(_.count).sum)
+        !rates.exists(r => Stats.isSignificantlyBelow(r.count, nobs, mf, alpha))
+    }
+
+  /** Consecutive rates are not numpy-isclose equal
+    * (`testing.py:_test_distinct_target_rates_between_modalities`). */
+  def testDistinctRates(rates: Vector[RateRow]): Boolean =
+    !rates.iterator.sliding(2).withPartial(false).exists { w =>
+      Stats.isClose(w(1).rate, w(0).rate)
+    }
+
+  /** Train/dev rank-order identity via stable argsort of the rates
+    * (`testing.py:_test_modality_ordering`). Both vectors share the same
+    * label order, so a stable sort preserves the ordinal order on ties.
+    */
+  def testOrdering(trainRates: Vector[Double], devRates: Vector[Double]): Boolean = {
+    def stableArgsort(v: Vector[Double]): Vector[Int] =
+      v.zipWithIndex.sortBy(_._1).map(_._2) // Vector.sortBy is stable
+    stableArgsort(trainRates) == stableArgsort(devRates)
+  }
+
+  final case class Viability(viable: Boolean, minFreqOk: Boolean, distinctOk: Boolean, orderingOk: Boolean)
+
+  /** Full train+dev viability for one candidate grouping. */
+  def testViability(
+      trainGrouped: Xagg,
+      devGrouped: Option[Xagg],
+      minFreq: Option[Double],
+      alpha: Double
+  ): Viability = {
+    val trainRates = targetMeanRates(trainGrouped)
+    val mfTrain = testMinFreq(trainRates, minFreq, alpha)
+    val distinctTrain = testDistinctRates(trainRates)
+    if (!(mfTrain && distinctTrain))
+      return Viability(viable = false, mfTrain, distinctTrain, orderingOk = true)
+    devGrouped match {
+      case None => Viability(viable = true, mfTrain, distinctTrain, orderingOk = true)
+      case Some(dev) =>
+        val devRates = targetMeanRates(dev)
+        val mfDev = testMinFreq(devRates, minFreq, alpha)
+        val distinctDev = testDistinctRates(devRates)
+        val ordering = testOrdering(trainRates.map(_.rate), devRates.map(_.rate))
+        Viability(mfDev && distinctDev && ordering, mfTrain && mfDev, distinctTrain && distinctDev, ordering)
+    }
+  }
+
+  /** Result of a feature search: the winning partition over the search
+    * labels plus its association metrics.
+    */
+  final case class Best(
+      combination: Vector[Vector[String]],
+      cramerv: Double,
+      tschuprowt: Double,
+      rates: Vector[RateRow]
+  )
+
+  /** Binary combination search with progressive top-K DP escalation and
+    * the NaN fan-out second phase — the driver algorithm of
+    * `BinaryCombinationEvaluator._get_best_combination_non_nan/_with_nan`.
+    *
+    * @param train xagg over the feature's ordered labels (may include nanLabel)
+    * @param dev   optional robustness view (same label space)
+    */
+  def bestCombination(
+      train: Xagg,
+      dev: Option[Xagg],
+      maxNMod: Int,
+      minFreq: Option[Double],
+      alpha: Double = 0.05,
+      sortBy: String = "tschuprowt",
+      hasNan: Boolean = false,
+      nanLabel: String = "__NAN__",
+      dropna: Boolean = true,
+      topKInitial: Int = 2000,
+      escalate: Boolean = true,
+      tol: Double = 1e-10
+  ): Option[Best] = {
+    // ---- phase 1: non-nan consecutive partitions -------------------------
+    val rawLabels0 = if (hasNan && dropna) train.labels.filterNot(_ == nanLabel) else train.labels
+    val trainNoNan = if (hasNan) train.without(nanLabel) else train
+    val devNoNan = if (hasNan) dev.map(_.without(nanLabel)) else dev
+
+    def walk(cands: Vector[Dp.Candidate], trainX: Xagg, devX: Option[Xagg], start: Int): (Option[Dp.Candidate], Int) = {
+      var i = start
+      while (i < cands.length) {
+        val c = cands(i)
+        val v = testViability(trainX.grouped(c.indexToGroupby), devX.map(_.grouped(c.indexToGroupby)), minFreq, alpha)
+        if (v.viable) return (Some(cands(i)), i + 1)
+        i += 1
+      }
+      (None, i)
+    }
+
+    val nonNanWinner: Option[Dp.Candidate] =
+      if (trainNoNan.labels.length <= 1) None
+      else {
+        val aligned = alignCounts(trainNoNan, rawLabels0)
+        var topK = topKInitial
+        var walked = 0
+        var found: Option[Dp.Candidate] = None
+        var done = false
+        while (!done) {
+          val cands = Dp.chi2TopKPartitions(aligned._1, aligned._2, maxNMod, rawLabels0, sortBy, topK, tol)
+          val (win, w) = walk(cands, trainNoNan, devNoNan, walked)
+          walked = w
+          if (win.isDefined) { found = win; done = true }
+          else if (walked < topK) done = true // DP exhausted
+          else if (!escalate) done = true
+          else topK *= 4
+        }
+        found
+      }
+
+    // ---- apply phase-1 winner: regroup labels and xaggs ------------------
+    // (reference `_apply_best_combination`: the nan phase then re-partitions
+    // the already-merged bins)
+    val (mergedTrain, mergedDev, mergedLabels, baseBest) = nonNanWinner match {
+      case Some(c) =>
+        val gTrain = train.grouped(c.indexToGroupby) // nan row intact (unmapped → singleton)
+        val gDev = dev.map(_.grouped(c.indexToGroupby))
+        val labels = gTrain.labels.filterNot(_ == nanLabel)
+        val best = Best(c.combination, c.cramerv, c.tschuprowt, targetMeanRates(gTrain))
+        (gTrain, gDev, labels, Some(best))
+      case None => (train, dev, rawLabels0, None)
+    }
+
+    if (!(hasNan && dropna)) {
+      // dropna=false with NaN: only the all-vs-nan partition may rescue a
+      // failed search (reference `_get_best_combination_with_nan` else-branch)
+      if (!dropna && hasNan && baseBest.isEmpty) {
+        val combo = Vector(rawLabels0, Vector(nanLabel))
+        val cand = Dp.Candidate(combo, Double.NaN, Double.NaN)
+        val g = train.grouped(cand.indexToGroupby)
+        val v = testViability(g, dev.map(_.grouped(cand.indexToGroupby)), minFreq, alpha)
+        if (v.viable) {
+          val aligned = alignCounts(train, train.labels)
+          val (cv, tt) = Dp.chi2AssocForCombination(
+            aligned._1, aligned._2, train.nObs, train.labels.zipWithIndex.toMap, combo, tol)
+          return Some(Best(combo, cv, tt, targetMeanRates(g)))
+        }
+        return None
+      }
+      return baseBest
+    }
+
+    // ---- phase 2: NaN placement fan-out over merged bins -----------------
+    val nonNanLabels = mergedLabels
+    val fullLabels = mergedTrain.labels
+    val modToPos = fullLabels.zipWithIndex.toMap
+    val (fn0, fn1) = alignCounts(mergedTrain, fullLabels)
+    val nObs = fn0.sum + fn1.sum
+    val (bn0, bn1) = alignCounts(mergedTrain, nonNanLabels)
+
+    val historized = mutable.Set.empty[Vector[Vector[String]]]
+    var topK = topKInitial
+    var nanWinner: Option[(Vector[Vector[String]], Double, Double)] = None
+    var done = false
+    while (!done) {
+      val base = Dp.chi2TopKPartitions(bn0, bn1, maxNMod, nonNanLabels, sortBy, topK, tol)
+      val scored = Dp.nanFanoutVariants(base.map(_.combination), nanLabel, nonNanLabels, maxNMod)
+        .map { variant =>
+          val (cv, tt) = Dp.chi2AssocForCombination(fn0, fn1, nObs, modToPos, variant, tol)
+          (variant, cv, tt)
+        }
+        .toVector
+        .sortBy { case (_, cv, tt) =>
+          val m = if (sortBy == "cramerv") cv else tt
+          if (m.isNaN) Double.PositiveInfinity else -m
+        }
+      var i = 0
+      var found = false
+      while (i < scored.length && !found) {
+        val (variant, cv, tt) = scored(i)
+        if (!historized.contains(variant)) {
+          historized += variant
+          val idx = variant.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
+          val g = mergedTrain.grouped(idx)
+          val v = testViability(g, mergedDev.map(_.grouped(idx)), minFreq, alpha)
+          if (v.viable) { nanWinner = Some((variant, cv, tt)); found = true }
+        }
+        i += 1
+      }
+      if (found) done = true
+      else if (base.length < topK) done = true
+      else if (!escalate) done = true
+      else topK *= 4
+    }
+
+    nanWinner match {
+      case Some((variant, cv, tt)) =>
+        // compose: variant groups are over merged leaders; expand to raw labels
+        val expand: Map[String, Vector[String]] = nonNanWinner match {
+          case Some(c) => c.combination.map(g => g.head -> g).toMap
+          case None => Map.empty
+        }
+        val finalCombo = variant.map(g => g.flatMap(l => expand.getOrElse(l, Vector(l))))
+        val idx = variant.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
+        Some(Best(finalCombo, cv, tt, targetMeanRates(mergedTrain.grouped(idx))))
+      case None =>
+        // reference semantics: the nan phase REPLACES the result; if no nan
+        // placement is viable the feature has no combination (dropped),
+        // even when the non-nan search had a winner
+        None
+    }
+  }
+
+  /** Counts aligned to an explicit label order (absent labels → 0). */
+  private def alignCounts(x: Xagg, order: Vector[String]): (Array[Double], Array[Double]) = {
+    val pos = x.labels.zipWithIndex.toMap
+    val a0 = new Array[Double](order.length)
+    val a1 = new Array[Double](order.length)
+    var i = 0
+    while (i < order.length) {
+      pos.get(order(i)).foreach { p => a0(i) = x.n0(p); a1(i) = x.n1(p) }
+      i += 1
+    }
+    (a0, a1)
+  }
+
+}
