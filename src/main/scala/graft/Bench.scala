@@ -1,24 +1,140 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.sql.Timestamp
+
+import graft.pages.{PageGen, PagePipeline}
+import graft.tables.IcebergLite
+
+/** Benchmark main. Prints ONE JSON line:
+  *  - per-query seconds over `SPARK_GRAFT_SF_DIR` at `SPARK_GRAFT_CPUS`,
+  *  - page-pipeline throughput (docs/sec, fit+transform over the synthetic
+  *    Common-Crawl page table) at N and 4N cores with scaling efficiency —
+  *    the BASELINE north-rule two-cluster-size evidence.
+  *
+  * Each scaling measurement runs in its OWN forked JVM (fresh
+  * `local[cores]` "cluster"): sequential SparkSessions inside one JVM
+  * degrade (observed 8×) and a fresh process per cluster size is also the
+  * honest analogue of two spark-submit runs.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** fit+transform over the page table; returns processed row count. */
+  def pipelineOnce(spark: SparkSession, table: String, asOf: Timestamp): Long = {
+    // fresh checkpoint namespace per run: throughput must measure the work
+    val ckpt = java.nio.file.Paths.get(table, "checkpoints")
+    if (java.nio.file.Files.exists(ckpt)) {
+      java.nio.file.Files.list(ckpt).forEach(p => java.nio.file.Files.delete(p))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val (model, _) = PagePipeline.fitCheckpointed(spark, table, asOf)
+    PagePipeline.transform(spark, table, model).count()
+  }
+
+  /** Forked measurement: warm run (JIT+codegen), then timed run. */
+  private def runForked(cores: Int, table: String): Double = {
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val jvmArgs = _root_.java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+        a.startsWith("-Xmx") || a.startsWith("-D"))
+    val cp = System.getProperty("java.class.path")
+    val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.BenchChild", cores.toString, table)
+    if (sys.env.contains("BENCH_DEBUG")) System.err.println(s"[bench] fork: ${cmd.take(8).mkString(" ")} ...")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes())
+    proc.waitFor()
+    if (sys.env.contains("BENCH_DEBUG")) System.err.println(s"[bench] child($cores) out tail:\n${out.takeRight(1500)}")
+    out.linesIterator.find(_.startsWith("CHILD_RESULT ")) match {
+      case Some(line) => line.stripPrefix("CHILD_RESULT ").toDouble
+      case None => throw new RuntimeException(s"bench child failed:\n${out.takeRight(2000)}")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val nUrls = sys.env.getOrElse("SPARK_GRAFT_PAGE_URLS", "400000").toLong
+
+    // ---- per-query timings at the driver-requested core count
+    val spark0 = session(cpus)
+    val results =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Map.empty[String, Double]
+      else SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark0, sfDir).count() } catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+
+    // ---- page table: generate once (not timed), reused by both cluster sizes
+    val table = java.nio.file.Files.createTempDirectory("graft_pages").toString
+    IcebergLite.write(PageGen.pages(spark0, nUrls), table)
+    val totalRows = IcebergLite.currentManifest(table).get.totalRows
+    spark0.stop()
+
+    // Scaling pair: this sandbox host throttles sustained load beyond ~8-12
+    // busy cores (burstable CPU: 16- and 32-thread runs degrade 3-6× after
+    // the first iterations while ≤8-thread runs stay stable), so the
+    // sustained-honest two-cluster-size comparison is 2 vs 8 cores by
+    // default; override with SPARK_GRAFT_SCALE_CORES=n,4n.
+    val (n1, n4) = sys.env.get("SPARK_GRAFT_SCALE_CORES") match {
+      case Some(s) => val a = s.split(","); (a(0).trim.toInt, a(1).trim.toInt)
+      case None => (2, 8)
+    }
+    val tN = runForked(n1, table)
+    val t4N = runForked(n4, table)
+    val speedup = tN / t4N
+    val efficiency = speedup / (n4.toDouble / n1.toDouble)
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val scaling =
+      s"""{"n_cores":$n1,"n4_cores":$n4,"rows":$totalRows,""" +
+      s""""sec_n":$tN,"sec_4n":$t4N,"docs_per_sec_n":${totalRows / tN},"docs_per_sec_4n":${totalRows / t4N},""" +
+      s""""speedup":$speedup,"efficiency":$efficiency}"""
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pages_pipeline":$scaling}""")
+  }
+}
+
+/** One scaling measurement in a fresh JVM: `BenchChild <cores> <table>`. */
+object BenchChild {
+  def main(args: Array[String]): Unit = {
+    val cores = args(0).toInt
+    val table = args(1)
+    val asOf = Timestamp.valueOf("2024-06-01 00:00:00")
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-child-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    try {
+      Bench.pipelineOnce(s, table, asOf) // warm: JIT + codegen caches
+      // min over 3 iterations: the sandbox host is shared, so wall-clock is
+      // noisy — the minimum is the standard noise-robust estimator
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        Bench.pipelineOnce(s, table, asOf)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(s"CHILD_RESULT ${times.min}")
+    } finally s.stop()
   }
 }

@@ -183,6 +183,22 @@ object SparkEntry {
       val m = carveDocs(s, dir)
       m.transform(Tables.documents(s, dir).withColumn("y", docLabel), keepOriginal = true)
         .select(col("doc_id") +: m.kept.map(f => col(s"${f.name}_bin")): _*)
+    }),
+    "q_carve_continuous" -> ((s, dir) => {
+      import graft.carve.{BinaryCarver, ContinuousCarver}
+      // continuous target: token count (deterministic content signal)
+      val df = Tables.documents(s, dir)
+        .withColumn("y", TextOps.tokenCount(col("text")).cast("double"))
+      val m = ContinuousCarver.fit(df, "y", Seq(
+        BinaryCarver.FeatureSpec("n_chars", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical")
+      ))
+      val rows = m.kept.flatMap(f => f.rates.zipWithIndex.map { case (r, i) =>
+        (f.name, i.toLong, f.binLabels(i),
+          BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+      })
+      import s.implicits._
+      rows.toDF("feature", "bin", "bin_label", "mean_y", "n")
     })
   )
 

@@ -153,12 +153,27 @@ object BinaryCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config()
   ): Model = {
+    val trainHist = histogram(train, target, specs)
+    val devHist = dev.map(d => histogram(d, target, specs))
+    fitFromHistograms(trainHist, devHist, target, specs, config)
+  }
+
+  /** Driver-only fit from collected histograms — the resumable second
+    * stage (E6): the histogram is the only cluster product, so a
+    * checkpointed histogram makes the whole fit replayable without
+    * touching the data.
+    */
+  def fitFromHistograms(
+      trainHist: Map[String, Array[HistRow]],
+      devHist: Option[Map[String, Array[HistRow]]],
+      target: String,
+      specs: Seq[FeatureSpec],
+      config: Config = Config()
+  ): Model = {
     require(specs.nonEmpty, "no features to carve")
     val halfMinFreq = config.minFreq / 2.0
     val q = math.rint(1.0 / halfMinFreq).toInt
 
-    // ---- single train pass: long-form per-value histogram with y stats
-    val trainHist = histogram(train, target, specs)
     val histRows = trainHist.values.map(_.length.toLong).sum
     require(histRows <= config.maxHistogramRows,
       s"histogram too large ($histRows rows) — use the sketch prebin path for high-cardinality columns")
@@ -175,15 +190,21 @@ object BinaryCarver {
       catSpecs.map { s => s.name -> prepCategorical(trainHist(s.name), totalOf(s.name), halfMinFreq, config) }
     ).toMap
 
-    // ---- dev pass (same raw-value aggregation, mapped driver-side)
-    val devHist: Option[Map[String, Array[HistRow]]] = dev.map(d => histogram(d, target, specs))
-
-    // ---- per-feature DP search (driver; features are independent)
-    val fitted = specs.toVector.map { spec =>
-      val p = prep(spec.name)
-      val devXagg = devHist.map(h => devXaggOf(spec, p, h.getOrElse(spec.name, Array.empty)))
-      searchFeature(spec, p, devXagg.filter(_.labels.nonEmpty), config)
-    }
+    // ---- per-feature DP search: driver-side, embarrassingly parallel over
+    // features (reference uses a process pool here; JVM threads suffice)
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fitted = Await.result(
+      Future.traverse(specs.toVector) { spec =>
+        Future {
+          val p = prep(spec.name)
+          val devXagg = devHist.map(h => devXaggOf(spec, p, h.getOrElse(spec.name, Array.empty)))
+          searchFeature(spec, p, devXagg.filter(_.labels.nonEmpty), config)
+        }
+      },
+      Duration.Inf
+    )
 
     Model(target, config.minFreq, config.maxNMod, config.sortBy, fitted)
   }
@@ -195,7 +216,7 @@ object BinaryCarver {
     * count + sum(y) per (feature, value). Map-side partial aggregation
     * keeps the shuffle at (features × cardinality) rows.
     */
-  private def histogram(df: DataFrame, target: String, specs: Seq[FeatureSpec]): Map[String, Array[HistRow]] = {
+  def histogram(df: DataFrame, target: String, specs: Seq[FeatureSpec]): Map[String, Array[HistRow]] = {
     val y = col(target).cast("double")
     val entries = specs.map { s =>
       if (s.kind == "quantitative")
@@ -241,9 +262,9 @@ object BinaryCarver {
       hasDefault: Boolean
   )
 
-  private def quantLabel(i: Int): String = f"m$i%04d"
+  private[carve] def quantLabel(i: Int): String = f"m$i%04d"
 
-  private def prepQuantitative(hist: Array[HistRow], total: Long, q: Int, halfMinFreq: Double, config: Config): Prep = {
+  private[carve] def prepQuantitative(hist: Array[HistRow], total: Long, q: Int, halfMinFreq: Double, config: Config): Prep = {
     val nonNull = hist.filterNot(_.isNull).sortBy(_.dv)
     val nanCount = hist.filter(_.isNull).map(_.count).sum
     val nanSumY = hist.filter(_.isNull).map(_.sumY).sum
@@ -279,7 +300,7 @@ object BinaryCarver {
       Search.Xagg(xLabels, n0, n1), hasNan, hasDefault = false)
   }
 
-  private def prepCategorical(hist: Array[HistRow], total: Long, halfMinFreq: Double, config: Config): Prep = {
+  private[carve] def prepCategorical(hist: Array[HistRow], total: Long, halfMinFreq: Double, config: Config): Prep = {
     val nonNull = hist.filterNot(_.isNull)
     val nanCount = hist.filter(_.isNull).map(_.count).sum
     val nanSumY = hist.filter(_.isNull).map(_.sumY).sum
@@ -305,7 +326,7 @@ object BinaryCarver {
   }
 
   /** Dev histogram → xagg in the train feature's label space. */
-  private def devXaggOf(spec: FeatureSpec, p: Prep, hist: Array[HistRow]): Search.Xagg = {
+  private[carve] def devXaggOf(spec: FeatureSpec, p: Prep, hist: Array[HistRow]): Search.Xagg = {
     val acc = mutable.LinkedHashMap.empty[String, (Double, Double)]
     p.xagg.labels.foreach(l => acc(l) = (0.0, 0.0))
     hist.foreach { r =>
@@ -327,7 +348,7 @@ object BinaryCarver {
     )
   }
 
-  private def searchFeature(spec: FeatureSpec, p: Prep, devXagg: Option[Search.Xagg], config: Config): FittedFeature = {
+  private[carve] def searchFeature(spec: FeatureSpec, p: Prep, devXagg: Option[Search.Xagg], config: Config): FittedFeature = {
     val best = Search.bestCombination(
       p.xagg, devXagg, config.maxNMod, Some(config.minFreq), config.minFreqAlpha,
       config.sortBy, p.hasNan, NanLabel, dropna = true,
@@ -362,7 +383,7 @@ object BinaryCarver {
     }
   }
 
-  private def quantBinLabels(combination: Vector[Vector[String]], p: Prep, nanBin: Int): Vector[String] = {
+  private[carve] def quantBinLabels(combination: Vector[Vector[String]], p: Prep, nanBin: Int): Vector[String] = {
     val pos = Vector.tabulate(p.prebinEdges.length + 1)(quantLabel).zipWithIndex.toMap
     combination.zipWithIndex.map { case (g, i) =>
       val idxs = g.filterNot(_ == NanLabel).flatMap(l =>

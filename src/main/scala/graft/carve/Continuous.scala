@@ -1,0 +1,274 @@
+package graft.carve
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Continuous-target (regression) carver — Kruskal-Wallis H family
+  * (`carvers/continuous_carver.py` + `combinations/continuous/...`).
+  *
+  * The reference aggregates a LIST of y values per modality; at scale that
+  * is exactly what not to do (SURVEY.md C3). The DP only consumes
+  * per-modality `(n, Σrank(y), Σy)` plus the global tie correction, so the
+  * cluster computes average ranks exactly with a `groupBy(feature, y)`
+  * histogram + one cumulative window per feature, then joins ranks back and
+  * reduces to per-modality stats. Nothing row-sized ever reaches the
+  * driver.
+  *
+  * Scale note: the per-feature rank window partitions by feature id — a
+  * single task per feature sized by that feature's distinct-y count. For
+  * web-scale continuous targets with ~N distinct values, swap in a
+  * range-partitioned two-pass cumulative sum; at carving granularity the
+  * distinct-y count is almost always ≪ N.
+  */
+object Continuous {
+
+  /** Per-modality rank aggregate for one feature. */
+  final case class RankXagg(
+      labels: Vector[String],
+      n: Array[Double],
+      sumRank: Array[Double],
+      sumY: Array[Double],
+      tieCorr: Double
+  ) {
+    def nObs: Double = n.sum
+    def without(label: String): RankXagg = {
+      val idx = labels.indexOf(label)
+      if (idx < 0) this
+      else RankXagg(labels.patch(idx, Nil, 1), n.patch(idx, Nil, 1),
+        sumRank.patch(idx, Nil, 1), sumY.patch(idx, Nil, 1), tieCorr)
+    }
+    def grouped(indexToGroupby: Map[String, String]): RankXagg = {
+      val order = mutable.LinkedHashMap.empty[String, Int]
+      val leaders = labels.map(l => indexToGroupby.getOrElse(l, l))
+      leaders.foreach(l => order.getOrElseUpdate(l, order.size))
+      val gn = new Array[Double](order.size)
+      val gr = new Array[Double](order.size)
+      val gy = new Array[Double](order.size)
+      var i = 0
+      while (i < labels.length) {
+        val g = order(leaders(i))
+        gn(g) += n(i); gr(g) += sumRank(i); gy(g) += sumY(i)
+        i += 1
+      }
+      RankXagg(order.keysIterator.toVector, gn, gr, gy, tieCorr)
+    }
+    def rates: Vector[Search.RateRow] = {
+      val total = nObs
+      labels.indices.map(i => Search.RateRow(labels(i), sumY(i) / n(i), n(i) / total, n(i))).toVector
+    }
+  }
+
+  /** Kruskal H from group rank sums (`stats/kruskal.py:h_from_rank_sums`). */
+  def hFromRankSums(rankSums: Array[Double], counts: Array[Double], nObs: Double, tieCorr: Double): Double = {
+    var ssbn = 0.0
+    var i = 0
+    while (i < rankSums.length) {
+      ssbn += rankSums(i) * rankSums(i) / counts(i) // 0-count group → NaN, as scipy
+      i += 1
+    }
+    if (ssbn.isNaN || ssbn.isInfinite) return Double.NaN
+    val h = (12.0 / (nObs * (nObs + 1))) * ssbn - 3.0 * (nObs + 1)
+    if (tieCorr == 0) Double.NaN else h / tieCorr
+  }
+
+  /** Top-K Kruskal DP (`continuous_combination_evaluators.py:516-594`):
+    * one DP across all caps (ssbn is k-independent), empty segments
+    * excluded via skipCost, ssbn → H translation, sorted desc.
+    */
+  def kruskalTopKPartitions(
+      rPerMod: Array[Double],
+      nPerMod: Array[Double],
+      nObs: Double,
+      tieCorr: Double,
+      maxNMod: Int,
+      rawIndex: Vector[String],
+      topK: Int = 2000
+  ): Vector[(Vector[Vector[String]], Double)] = {
+    if (nObs < 2 || tieCorr == 0) return Vector.empty
+    val nMod = rawIndex.length
+    val cap = math.min(maxNMod, nMod)
+    if (cap < 2) return Vector.empty
+    val rPrefix = rPerMod.scanLeft(0.0)(_ + _)
+    val nPrefix = nPerMod.scanLeft(0.0)(_ + _)
+    def segCost(i: Int, j: Int): Double = {
+      val nn = nPrefix(j) - nPrefix(i)
+      if (nn <= 0) Double.NegativeInfinity
+      else {
+        val r = rPrefix(j) - rPrefix(i)
+        r * r / nn
+      }
+    }
+    val entries = Dp.topKPartitions(nMod, cap, segCost, topK, maximize = true,
+      skipCost = Some(Double.NegativeInfinity))
+    val coef = 12.0 / (nObs * (nObs + 1))
+    val offset = 3.0 * (nObs + 1)
+    entries.map { case (_, ssbn, splits) =>
+      ((coef * ssbn - offset) / tieCorr, splits)
+    }.sortBy(-_._1).take(topK).map { case (h, splits) =>
+      (Dp.splitsToCombination(splits, rawIndex), h)
+    }
+  }
+
+  /** Closed-form H for an arbitrary grouping (NaN fan-out scorer). */
+  def hForCombination(
+      rPerMod: Array[Double],
+      nPerMod: Array[Double],
+      nObs: Double,
+      tieCorr: Double,
+      modToPos: Map[String, Int],
+      combination: Vector[Vector[String]]
+  ): Double = {
+    if (nObs < 2) return Double.NaN
+    var gid = 0
+    val nMod = modToPos.size
+    val assign = new Array[Int](nMod)
+    val assigned = new Array[Boolean](nMod)
+    combination.foreach { g =>
+      g.foreach(m => modToPos.get(m).foreach { p => assign(p) = gid; assigned(p) = true })
+      gid += 1
+    }
+    var nGroups = gid
+    var p = 0
+    while (p < nMod) { if (!assigned(p)) { assign(p) = nGroups; nGroups += 1 }; p += 1 }
+    if (nGroups < 2) return Double.NaN
+    val rg = new Array[Double](nGroups)
+    val ng = new Array[Double](nGroups)
+    var i = 0
+    while (i < nMod) { rg(assign(i)) += rPerMod(i); ng(assign(i)) += nPerMod(i); i += 1 }
+    hFromRankSums(rg, ng, nObs, tieCorr)
+  }
+
+  /** Kruskal analogue of `Search.bestCombination`: same escalating walk,
+    * same vetoes (rates are target MEANS `Σy/n` here), NaN fan-out scored
+    * by closed-form H.
+    *
+    * Ranks are pool-dependent (reference `_modality_rank_stats` runs on the
+    * nan-filtered xagg for the non-nan phase and on the restored raw xagg
+    * for the nan phase), so the caller provides both bases:
+    *
+    * @param trainSub  non-NaN modalities with ranks pooled over non-NaN rows
+    * @param trainFull all modalities (incl. NaN) with ranks pooled over all rows
+    * @param dev       robustness view — only (n, Σy) are consumed (vetoes
+    *                  use rates, never ranks)
+    */
+  def bestCombination(
+      trainSub: RankXagg,
+      trainFull: RankXagg,
+      dev: Option[RankXagg],
+      maxNMod: Int,
+      minFreq: Option[Double],
+      alpha: Double = 0.05,
+      hasNan: Boolean = false,
+      nanLabel: String = BinaryCarver.NanLabel,
+      topKInitial: Int = 2000,
+      escalate: Boolean = false
+  ): Option[(Vector[Vector[String]], Double, Vector[Search.RateRow])] = {
+
+    def viability(t: RankXagg, d: Option[RankXagg]): Boolean = {
+      val tr = t.rates
+      if (!Search.testMinFreq(tr, minFreq, alpha) || !Search.testDistinctRates(tr)) false
+      else d match {
+        case None => true
+        case Some(dd) =>
+          val dr = dd.rates
+          Search.testMinFreq(dr, minFreq, alpha) && Search.testDistinctRates(dr) &&
+            Search.testOrdering(tr.map(_.rate), dr.map(_.rate))
+      }
+    }
+
+    val rawLabels0 = trainSub.labels
+    val trainNoNan = trainSub
+    val devNoNan = if (hasNan) dev.map(_.without(nanLabel)) else dev
+
+    def align(x: RankXagg, order: Vector[String]): (Array[Double], Array[Double], Array[Double]) = {
+      val pos = x.labels.zipWithIndex.toMap
+      val r = new Array[Double](order.length)
+      val n = new Array[Double](order.length)
+      val y = new Array[Double](order.length)
+      order.indices.foreach { i =>
+        pos.get(order(i)).foreach { p => r(i) = x.sumRank(p); n(i) = x.n(p); y(i) = x.sumY(p) }
+      }
+      (r, n, y)
+    }
+
+    val nonNanWinner: Option[(Vector[Vector[String]], Double)] =
+      if (trainNoNan.labels.length <= 1) None
+      else {
+        val (r, n, _) = align(trainNoNan, rawLabels0)
+        var topK = topKInitial
+        var walked = 0
+        var found: Option[(Vector[Vector[String]], Double)] = None
+        var done = false
+        while (!done) {
+          val cands = kruskalTopKPartitions(r, n, trainNoNan.nObs, trainNoNan.tieCorr, maxNMod, rawLabels0, topK)
+          var i = walked
+          while (i < cands.length && found.isEmpty) {
+            val (combo, h) = cands(i)
+            val idx = combo.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
+            if (viability(trainNoNan.grouped(idx), devNoNan.map(_.grouped(idx)))) found = Some((combo, h))
+            i += 1
+          }
+          walked = i
+          if (found.isDefined) done = true
+          else if (cands.length < topK) done = true
+          else if (!escalate) done = true
+          else topK *= 4
+        }
+        found
+      }
+
+    val (mergedTrain, mergedDev, mergedLabels, baseBest) = nonNanWinner match {
+      case Some((combo, h)) =>
+        val idx = combo.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
+        val gt = trainFull.grouped(idx)
+        (gt, dev.map(_.grouped(idx)), gt.labels.filterNot(_ == nanLabel),
+          Some((combo, h, gt.rates)))
+      case None => (trainFull, dev, rawLabels0, None)
+    }
+
+    if (!hasNan) return baseBest
+
+    // NaN fan-out over merged bins
+    val fullLabels = mergedTrain.labels
+    val modToPos = fullLabels.zipWithIndex.toMap
+    val (fr, fn, _) = align(mergedTrain, fullLabels)
+    val (br, bn, _) = align(mergedTrain, mergedLabels)
+    val historized = mutable.Set.empty[Vector[Vector[String]]]
+    var topK = topKInitial
+    var winner: Option[(Vector[Vector[String]], Double)] = None
+    var done = false
+    while (!done) {
+      val base = kruskalTopKPartitions(br, bn, mergedTrain.nObs, mergedTrain.tieCorr, maxNMod, mergedLabels, topK)
+      val scored = Dp.nanFanoutVariants(base.map(_._1), nanLabel, mergedLabels, maxNMod)
+        .map { v => (v, hForCombination(fr, fn, mergedTrain.nObs, mergedTrain.tieCorr, modToPos, v)) }
+        .toVector
+        .sortBy { case (_, h) => if (h.isNaN) Double.PositiveInfinity else -h }
+      var i = 0
+      while (i < scored.length && winner.isEmpty) {
+        val (v, h) = scored(i)
+        if (!historized.contains(v)) {
+          historized += v
+          val idx = v.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
+          if (viability(mergedTrain.grouped(idx), mergedDev.map(_.grouped(idx)))) winner = Some((v, h))
+        }
+        i += 1
+      }
+      if (winner.isDefined) done = true
+      else if (base.length < topK) done = true
+      else if (!escalate) done = true
+      else topK *= 4
+    }
+
+    winner.map { case (v, h) =>
+      val expand: Map[String, Vector[String]] = nonNanWinner match {
+        case Some((combo, _)) => combo.map(g => g.head -> g).toMap
+        case None => Map.empty
+      }
+      val finalCombo = v.map(g => g.flatMap(l => expand.getOrElse(l, Vector(l))))
+      val idx = v.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
+      (finalCombo, h, mergedTrain.grouped(idx).rates)
+    }
+  }
+}

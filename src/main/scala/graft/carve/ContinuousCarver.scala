@@ -1,0 +1,199 @@
+package graft.carve
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Regression carver (`carvers/continuous_carver.py`): same prebin pipeline
+  * as the binary carver, Kruskal-Wallis H association instead of chi².
+  *
+  * Cluster shape: pass 1 = the shared per-value histogram (prebins, counts,
+  * Σy); pass 2 = exact average-rank statistics per (feature, modality):
+  * `groupBy(feature, y).count()` → per-feature cumulative window → join
+  * back → `groupBy(feature, modality).agg(n, Σrank, Σy)`, computed twice
+  * (with and without each feature's NaN rows pooled — rank bases differ,
+  * see [[Continuous.bestCombination]]) in the same aggregation.
+  */
+object ContinuousCarver {
+  import BinaryCarver.{FeatureSpec, FittedFeature, Model, Prep, Config, NanLabel, OtherLabel}
+
+  def fit(
+      train: DataFrame,
+      target: String,
+      specs: Seq[FeatureSpec],
+      dev: Option[DataFrame] = None,
+      config: Config = Config(sortBy = "kruskal")
+  ): Model = {
+    require(specs.nonEmpty, "no features to carve")
+    val halfMinFreq = config.minFreq / 2.0
+    val q = math.rint(1.0 / halfMinFreq).toInt
+
+    // ---- pass 1: shared histogram → prebins (quantile edges, merges, OTHER)
+    val trainHist = BinaryCarver.histogram(train, target, specs)
+    def totalOf(name: String): Long = trainHist(name).map(_.count).sum
+    val prep: Map[String, Prep] = specs.map { s =>
+      s.name -> (if (s.kind == "quantitative")
+        BinaryCarver.prepQuantitative(trainHist(s.name), totalOf(s.name), q, halfMinFreq, config)
+      else
+        BinaryCarver.prepCategorical(trainHist(s.name), totalOf(s.name), halfMinFreq, config))
+    }.toMap
+
+    // ---- pass 2: rank stats per (feature, modality), both rank bases
+    val rankStats = rankStatsJob(train, target, specs, prep)
+
+    // ---- dev pass: (n, Σy) per modality is all the vetoes need
+    val devHist = dev.map(d => BinaryCarver.histogram(d, target, specs))
+
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fitted = Await.result(Future.traverse(specs.toVector) { spec =>
+      Future {
+        val p = prep(spec.name)
+        val (sub, full) = rankStats(spec.name)
+        val devX = devHist.map { h =>
+          val x = BinaryCarver.devXaggOf(spec, p, h.getOrElse(spec.name, Array.empty))
+          // RankXagg view of the dev (ranks unused by vetoes)
+          Continuous.RankXagg(x.labels, x.labels.indices.map(i => x.n0(i) + x.n1(i)).toArray,
+            new Array[Double](x.labels.length), x.n1, 1.0)
+        }
+        searchContinuous(spec, p, sub, full, devX.filter(_.labels.nonEmpty), config)
+      }
+    }, Duration.Inf)
+
+    Model(target, config.minFreq, config.maxNMod, "kruskal", fitted)
+  }
+
+  /** Modality-label column for one prepped feature (fit-time only). */
+  private def labelExpr(spec: FeatureSpec, p: Prep): Column =
+    if (spec.kind == "quantitative") {
+      val x = col(spec.name).cast("double")
+      val base: Column = lit(p.prebinLeader.last)
+      val expr = p.prebinEdges.indices.reverse.foldLeft(base) { (acc, i) =>
+        when(x <= p.prebinEdges(i), lit(p.prebinLeader(i))).otherwise(acc)
+      }
+      when(x.isNull || isnan(x), lit(NanLabel)).otherwise(expr)
+    } else {
+      val c = col(spec.name).cast("string")
+      val mapped =
+        if (p.valueToRaw.isEmpty) lit(OtherLabel)
+        else coalesce(element_at(typedlit(p.valueToRaw), c), if (p.hasDefault) lit(OtherLabel) else c)
+      when(c.isNull, lit(NanLabel)).otherwise(mapped)
+    }
+
+  /** (subset-rank xagg without NaN, full-rank xagg incl NaN) per feature. */
+  private def rankStatsJob(
+      df: DataFrame,
+      target: String,
+      specs: Seq[FeatureSpec],
+      prep: Map[String, Prep]
+  ): Map[String, (Continuous.RankXagg, Continuous.RankXagg)] = {
+    val y = col(target).cast("double")
+    val entries = specs.map { s =>
+      struct(lit(s.name).as("fid"), labelExpr(s, prep(s.name)).as("lbl"))
+    }
+    val long = df
+      .select(explode(array(entries: _*)).as("e"), y.as("y"))
+      .select(col("e.fid").as("fid"), col("e.lbl").as("lbl"), col("y"))
+
+    // per-(feature, y): counts over all rows and over non-NaN-modality rows
+    val yh = long.groupBy(col("fid"), col("y"))
+      .agg(
+        count(lit(1)).as("ca"),
+        sum(when(col("lbl") =!= NanLabel, 1L).otherwise(0L)).as("cs")
+      )
+    val w = Window.partitionBy(col("fid")).orderBy(col("y"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = yh
+      .withColumn("cuma", coalesce(sum(col("ca")).over(w), lit(0L)))
+      .withColumn("cums", coalesce(sum(col("cs")).over(
+        Window.partitionBy(col("fid")).orderBy(col("y")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("rank_all", col("cuma") + (col("ca") + 1) / 2.0)
+      .withColumn("rank_sub", col("cums") + (col("cs") + 1) / 2.0)
+
+    // per-feature tie corrections for both pools
+    val ties = ranked.groupBy(col("fid")).agg(
+      sum(col("ca") * col("ca") * col("ca") - col("ca")).as("ta"),
+      sum(col("ca")).as("na"),
+      sum(col("cs") * col("cs") * col("cs") - col("cs")).as("ts"),
+      sum(col("cs")).as("ns")
+    ).collect().map { r =>
+      val na = r.getLong(2).toDouble
+      val ns = r.getLong(4).toDouble
+      val tca = if (na < 2) 1.0 else 1.0 - r.getLong(1).toDouble / (na * na * na - na)
+      val tcs = if (ns < 2) 1.0 else 1.0 - r.getLong(3).toDouble / (ns * ns * ns - ns)
+      r.getString(0) -> (tca, tcs)
+    }.toMap
+
+    val stats = long.join(ranked.select(col("fid"), col("y"), col("rank_all"), col("rank_sub")), Seq("fid", "y"))
+      .groupBy(col("fid"), col("lbl"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rank_all")).as("ra"),
+        sum(col("rank_sub")).as("rs"),
+        sum(col("y")).as("sy")
+      )
+      .collect()
+
+    val byFid = mutable.Map.empty[String, mutable.ArrayBuffer[(String, Double, Double, Double, Double)]]
+    stats.foreach { r =>
+      byFid.getOrElseUpdate(r.getString(0), mutable.ArrayBuffer.empty) +=
+        ((r.getString(1), r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    }
+
+    specs.map { s =>
+      val p = prep(s.name)
+      val rows = byFid.getOrElse(s.name, mutable.ArrayBuffer.empty).map(t => t._1 -> t).toMap
+      val (tca, tcs) = ties.getOrElse(s.name, (1.0, 1.0))
+      def mk(labels: Vector[String], useSub: Boolean, tieCorr: Double): Continuous.RankXagg =
+        Continuous.RankXagg(
+          labels,
+          labels.map(l => rows.get(l).map(_._2).getOrElse(0.0)).toArray,
+          labels.map(l => rows.get(l).map(t => if (useSub) t._4 else t._3).getOrElse(0.0)).toArray,
+          labels.map(l => rows.get(l).map(_._5).getOrElse(0.0)).toArray,
+          tieCorr
+        )
+      val fullLabels = p.xagg.labels
+      val subLabels = fullLabels.filterNot(_ == NanLabel)
+      s.name -> (mk(subLabels, useSub = true, tcs), mk(fullLabels, useSub = false, tca))
+    }.toMap
+  }
+
+  private def searchContinuous(
+      spec: FeatureSpec,
+      p: Prep,
+      sub: Continuous.RankXagg,
+      full: Continuous.RankXagg,
+      devX: Option[Continuous.RankXagg],
+      config: Config
+  ): FittedFeature = {
+    val best = Continuous.bestCombination(
+      sub, full, devX, config.maxNMod, Some(config.minFreq), config.minFreqAlpha,
+      p.hasNan, NanLabel, config.topKInitial, config.escalate)
+    best match {
+      case None =>
+        FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,
+          -1, -1, p.hasNan, p.hasDefault, Vector.empty, Double.NaN, Double.NaN,
+          Vector.empty, dropped = true, droppedReason = "no viable combination")
+      case Some((combination, h, rates)) =>
+        val labelToBin = combination.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
+        val nanBin = labelToBin.getOrElse(NanLabel, -1)
+        if (p.kind == "quantitative") {
+          val prebinToBin = p.prebinLeader.map(l => labelToBin.getOrElse(l, -1))
+          val binLabels = BinaryCarver.quantBinLabels(combination, p, nanBin)
+          FittedFeature(spec.name, p.kind, p.prebinEdges, prebinToBin, Map.empty,
+            nanBin, -1, p.hasNan, p.hasDefault, binLabels, h, Double.NaN, rates,
+            dropped = false, droppedReason = "")
+        } else {
+          val valueToBin = p.valueToRaw.collect {
+            case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
+          }
+          val otherBin = labelToBin.getOrElse(OtherLabel, -1)
+          FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
+            nanBin, otherBin, p.hasNan, p.hasDefault, combination.map(_.mkString(", ")), h, Double.NaN,
+            rates, dropped = false, droppedReason = "")
+        }
+    }
+  }
+}

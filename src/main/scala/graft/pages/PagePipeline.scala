@@ -1,0 +1,134 @@
+package graft.pages
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+import graft.carve.BinaryCarver
+import graft.tables.IcebergLite
+import graft.temporal.Temporal
+import graft.text.TextOps
+
+/** The flagship end-to-end pipeline over the Common-Crawl-style page table
+  * (BASELINE north_rule): temporal features (lag, backfill, sessionize by
+  * url host) + zero-leakage carver fit at an as-of cutoff + checkpointed
+  * stages resumable from Iceberg-style metadata.
+  */
+object PagePipeline {
+
+  /** Derived per-page feature frame: one window shuffle on `url` covers
+    * lag + backfill; host features come free in the scan projection.
+    */
+  def featureFrame(pages: DataFrame): DataFrame = {
+    val base = pages
+      // compute every text-derived scalar in the scan projection, then drop
+      // the heavy payload columns: the window exchanges must never carry the
+      // html/text bytes (at 100 TB the payload dominates shuffle volume)
+      .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+      .withColumn("text_len", length(col("text")).cast("double"))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
+      .drop("html", "text")
+    val lagged = Temporal.lagLead(base, Seq("url"), Seq("warc_ts"), "text_len", lags = Seq(1), leads = Nil)
+    Temporal
+      .sessionize(lagged, Seq("host"), "warc_ts", gapSeconds = 14L * 24 * 3600, orderTieBreak = Seq("url"))
+      .withColumn("text_len_lag1", coalesce(col("text_len_lag1"), col("text_len")))
+  }
+
+  /** Deterministic binary label (content-derived, no external data). */
+  def label: org.apache.spark.sql.Column =
+    when(col("text_len") > 400, lit(1)).otherwise(lit(0))
+
+  val specs: Seq[BinaryCarver.FeatureSpec] = Seq(
+    BinaryCarver.FeatureSpec("text_len", "quantitative"),
+    BinaryCarver.FeatureSpec("text_len_lag1", "quantitative"),
+    BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
+    BinaryCarver.FeatureSpec("lang", "categorical"),
+    BinaryCarver.FeatureSpec("host", "categorical")
+  )
+
+  /** Zero-leakage fit at `asOf` with per-stage checkpoints in the table's
+    * metadata (E5 + E6):
+    *
+    *  - stage `hist`: the one cluster pass (feature histograms), keyed by
+    *    (snapshot id, config+asOf hash) — a resumed run skips the scan;
+    *  - stage `model`: the fitted model JSON.
+    *
+    * Returns (model, stagesComputed) so tests can assert resume behavior.
+    */
+  def fitCheckpointed(
+      spark: SparkSession,
+      table: String,
+      asOf: Timestamp,
+      config: BinaryCarver.Config = BinaryCarver.Config()
+  ): (BinaryCarver.Model, Vector[String]) = {
+    val manifest = IcebergLite.currentManifest(table)
+      .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
+    val cfgHash = IcebergLite.configHash(s"$config|$asOf|v1")
+    val computed = Vector.newBuilder[String]
+
+    val histJson = IcebergLite.loadCheckpoint(table, "hist", manifest.snapshotId, cfgHash).getOrElse {
+      computed += "hist"
+      val pages = IcebergLite.read(spark, table)
+      val train = featureFrame(Temporal.leakageGuard(pages, "warc_ts", asOf)).withColumn("y", label)
+      val hist = BinaryCarver.histogram(train, "y", specs)
+      val json = HistJson.write(hist)
+      IcebergLite.saveCheckpoint(table, IcebergLite.Checkpoint("hist", manifest.snapshotId, cfgHash, json))
+      json
+    }
+
+    val modelJson = IcebergLite.loadCheckpoint(table, "model", manifest.snapshotId, cfgHash).getOrElse {
+      computed += "model"
+      val model = BinaryCarver.fitFromHistograms(HistJson.read(histJson), None, "y", specs, config)
+      val json = model.toJson
+      IcebergLite.saveCheckpoint(table, IcebergLite.Checkpoint("model", manifest.snapshotId, cfgHash, json))
+      json
+    }
+
+    (graft.carve.Json.readModel(modelJson), computed.result())
+  }
+
+  /** Scoring path: features + model.transform, pure projection after one
+    * window shuffle.
+    */
+  def transform(spark: SparkSession, table: String, model: BinaryCarver.Model): DataFrame =
+    model.transform(featureFrame(IcebergLite.read(spark, table)))
+}
+
+/** JSON codec for the histogram checkpoint (stage `hist` payload). */
+object HistJson {
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+  import org.json4s.JsonDSL._
+
+  def write(h: Map[String, Array[BinaryCarver.HistRow]]): String = {
+    val j: JValue = JObject(h.toList.sortBy(_._1).map { case (fid, rows) =>
+      fid -> JArray(rows.toList.map { r =>
+        val jv: JValue =
+          ("dv" -> (if (r.dv.isNaN) JNull else JDouble(r.dv))) ~
+          ("sv" -> Option(r.sv)) ~
+          ("nul" -> r.isNull) ~ ("n" -> r.count) ~ ("sy" -> r.sumY)
+        jv
+      })
+    })
+    JsonMethods.compact(JsonMethods.render(j))
+  }
+
+  def read(s: String): Map[String, Array[BinaryCarver.HistRow]] = {
+    implicit val fmts: Formats = DefaultFormats
+    JsonMethods.parse(s) match {
+      case JObject(fields) => fields.map { case (fid, JArray(rows)) =>
+        fid -> rows.map { r =>
+          BinaryCarver.HistRow(
+            (r \ "dv") match { case JDouble(d) => d; case JInt(i) => i.toDouble; case _ => Double.NaN },
+            (r \ "sv") match { case JString(x) => x; case _ => null },
+            (r \ "nul").extract[Boolean],
+            (r \ "n").extract[Long],
+            (r \ "sy").extract[Double]
+          )
+        }.toArray
+      case (fid, _) => fid -> Array.empty[BinaryCarver.HistRow]
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+}

@@ -177,3 +177,36 @@ with open(f"{OUT}/parity.json", "w") as f:
     json.dump(out, f)
 print(f"wrote {OUT}/parity.json:",
       {k: (len(v) if isinstance(v, list) else 1) for k, v in out.items()})
+
+# ---- kruskal DP parity (extracted from continuous_combination_evaluators) ----
+src_k = open(f"{REF}/combinations/continuous/continuous_combination_evaluators.py").read()
+start_k = src_k.index("def _top_k_partitions_kruskal_dp")
+ns_k = {
+    "np": np,
+    "top_k_partitions": dp.top_k_partitions,
+    "splits_to_combination": dp.splits_to_combination,
+    "combination_formatter": combos.combination_formatter,
+}
+exec(compile(src_k[start_k:], "kruskal_dp", "exec"), ns_k)
+top_k_kruskal = ns_k["_top_k_partitions_kruskal_dp"]
+
+kw_cases = []
+rng2 = np.random.default_rng(11)
+for _ in range(6):
+    n_mod = int(rng2.integers(3, 12))
+    n = rng2.integers(1, 300, size=n_mod).astype(np.int64)
+    N = int(n.sum())
+    # synthetic rank sums: partition ranks 1..N among modalities
+    perm = rng2.permutation(N) + 1
+    offs = np.concatenate([[0], np.cumsum(n)])
+    R = np.array([perm[offs[i]:offs[i+1]].sum() for i in range(n_mod)], dtype=float)
+    tie = float(rng2.uniform(0.9, 1.0))
+    res = top_k_kruskal(R, n, N, tie, max_n_mod=5, raw_index=[f"m{i:04d}" for i in range(n_mod)], top_k=40)
+    kw_cases.append({
+        "R": R.tolist(), "n": n.tolist(), "N": N, "tie": tie,
+        "expected": [{"combination": r["combination"], "kruskal": r["kruskal"]} for r in res],
+    })
+out2 = {"kruskal_dp": kw_cases}
+with open(f"{OUT}/parity_kruskal.json", "w") as f:
+    json.dump(out2, f)
+print("wrote parity_kruskal.json", len(kw_cases))
