@@ -199,6 +199,33 @@ object SparkEntry {
       })
       import s.implicits._
       rows.toDF("feature", "bin", "bin_label", "mean_y", "n")
+    }),
+    // ------------------------------------------------------------- selector
+    "q_select" -> ((s, dir) => {
+      val df = Tables.documents(s, dir).withColumn("y", docLabel)
+      val sel = graft.select.Selector.select(df, "y",
+        quants = Seq("n_chars", "doc_id"), quals = Seq("lang", "source"),
+        config = graft.select.Selector.Config(nBest = 2))
+      import s.implicits._
+      (sel.kept.map(m => (m.name, m.kind, "kept",
+          BigDecimal(m.association).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)) ++
+        sel.dropped.map { case (m, r) => (m.name, m.kind, s"dropped:$r",
+          BigDecimal(if (m.association.isNaN) -1 else m.association)
+            .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble) })
+        .toDF("feature", "kind", "status", "association")
+    }),
+    // ------------------------------------------------------------ stability
+    "q_stability" -> ((s, dir) => {
+      val df = Tables.documents(s, dir).withColumn("y", docLabel)
+      val m = carveDocs(s, dir)
+      // distribution-shifted "new sample": drop the short-text half
+      val shifted = df.filter(col("n_chars") > 200)
+      val report = graft.stability.Stability.evaluate(m, shifted, "y")
+      import s.implicits._
+      report.features.map(f => (f.name,
+        BigDecimal(f.psiValue).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble,
+        f.viableAsDev, f.unstable, f.reasons.mkString("; ")))
+        .toDF("feature", "psi", "viable_as_dev", "unstable", "reasons")
     })
   )
 

@@ -94,21 +94,13 @@ object BinaryCarver {
   def load(path: String): Model =
     Json.readModel(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 
-  /** searchsorted(edges, x, side='left') + final-bin lookup, as a chained
-    * `when` (codegen'd; a custom binary-search Expression is the planned
-    * optimization for >100-edge features).
+  /** searchsorted(edges, x, side='left') + final-bin lookup via the custom
+    * codegen'd binary-search expression (graft.transform.BinarySearchBucketize):
+    * O(log E) per row and a constant-size generated method, vs the O(E)
+    * chained-when tree whose analysis+Janino cost grows with edge count.
     */
-  private def quantitativeBinExpr(f: FittedFeature, c: Column): Column = {
-    val x = c.cast("double")
-    val nanCase =
-      if (f.nanBin >= 0) lit(f.nanBin)
-      else lit(null).cast("int")
-    val base: Column = lit(f.prebinToBin.last) // x > last edge
-    val expr = f.prebinEdges.indices.reverse.foldLeft(base) { (acc, i) =>
-      when(x <= f.prebinEdges(i), lit(f.prebinToBin(i))).otherwise(acc)
-    }
-    when(x.isNull || isnan(x), nanCase).otherwise(expr).cast("int")
-  }
+  private def quantitativeBinExpr(f: FittedFeature, c: Column): Column =
+    graft.transform.BinarySearchBucketize.column(c, f.prebinEdges, f.prebinToBin, f.nanBin)
 
   private def categoricalBinExpr(f: FittedFeature, c: Column): Column = {
     val nanCase = if (f.nanBin >= 0) lit(f.nanBin) else lit(null).cast("int")

@@ -158,4 +158,38 @@ object Temporal {
     */
   def leakageGuard(df: DataFrame, tsCol: String, asOf: java.sql.Timestamp): DataFrame =
     df.filter(col(tsCol) <= lit(asOf))
+
+  /** Skew-salted range repartitioning — E7.
+    *
+    * Range-partition on (ts, salt) where salt = pmod(hash(key), buckets):
+    * a hot key's rows spread across `saltBuckets` consecutive partitions
+    * instead of landing in one, while the primary ts ordering (what
+    * downstream temporal scans prune on) is preserved. Use for writes and
+    * wide stages keyed by a Zipf-skewed entity (url hosts).
+    */
+  def skewSaltedRepartitionByRange(
+      df: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      numPartitions: Int,
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(hash(col(keyCol)), lit(saltBuckets)))
+    salted.repartitionByRange(numPartitions, col(tsCol), col("__salt")).drop("__salt")
+  }
+
+  /** Hot-key detection via sampling: keys whose sampled share exceeds
+    * `shareThreshold` (the candidates for salting / broadcast isolation).
+    */
+  def hotKeys(df: DataFrame, keyCol: String, shareThreshold: Double = 0.01, sampleFraction: Double = 0.05): Seq[(String, Long)] = {
+    val sampled = df.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val total = math.max(sampled.count(), 1L)
+    sampled.groupBy(col(keyCol).cast("string").as("k"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > (lit(total) * shareThreshold))
+      .orderBy(col("n").desc)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+  }
 }
