@@ -94,8 +94,12 @@ object Bench {
       case Some(s) => val a = s.split(","); (a(0).trim.toInt, a(1).trim.toInt)
       case None => (2, 8)
     }
-    val tN = runForked(n1, table)
-    val t4N = runForked(n4, table)
+    // interleaved rounds: host performance fluctuates minute-to-minute, so
+    // both sizes must sample the same windows; min per size across rounds
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+    val samples = (1 to rounds).map { _ => (runForked(n1, table), runForked(n4, table)) }
+    val tN = samples.map(_._1).min
+    val t4N = samples.map(_._2).min
     val speedup = tN / t4N
     val efficiency = speedup / (n4.toDouble / n1.toDouble)
 
@@ -127,14 +131,9 @@ object BenchChild {
     s.sparkContext.setLogLevel("ERROR")
     try {
       Bench.pipelineOnce(s, table, asOf) // warm: JIT + codegen caches
-      // min over 3 iterations: the sandbox host is shared, so wall-clock is
-      // noisy — the minimum is the standard noise-robust estimator
-      val times = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        Bench.pipelineOnce(s, table, asOf)
-        (System.nanoTime() - t0) / 1e9
-      }
-      println(s"CHILD_RESULT ${times.min}")
+      val t0 = System.nanoTime()
+      Bench.pipelineOnce(s, table, asOf)
+      println(s"CHILD_RESULT ${(System.nanoTime() - t0) / 1e9}")
     } finally s.stop()
   }
 }
