@@ -79,36 +79,41 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
 
-    // ---- page table: generate once (not timed), reused by both cluster sizes
-    val table = java.nio.file.Files.createTempDirectory("graft_pages").toString
-    IcebergLite.write(PageGen.pages(spark0, nUrls), table)
-    val totalRows = IcebergLite.currentManifest(table).get.totalRows
-    spark0.stop()
-
+    // ---- page pipeline scaling (never allowed to kill the queries output).
     // Scaling pair: this sandbox host throttles sustained load beyond ~8-12
-    // busy cores (burstable CPU: 16- and 32-thread runs degrade 3-6× after
-    // the first iterations while ≤8-thread runs stay stable), so the
+    // busy cores (burstable CPU: 16- and 32-thread runs degrade 3-6x after
+    // the first iterations while <=8-thread runs stay stable), so the
     // sustained-honest two-cluster-size comparison is 2 vs 8 cores by
     // default; override with SPARK_GRAFT_SCALE_CORES=n,4n.
-    val (n1, n4) = sys.env.get("SPARK_GRAFT_SCALE_CORES") match {
-      case Some(s) => val a = s.split(","); (a(0).trim.toInt, a(1).trim.toInt)
-      case None => (2, 8)
-    }
-    // interleaved rounds: host performance fluctuates minute-to-minute, so
-    // both sizes must sample the same windows; min per size across rounds
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
-    val samples = (1 to rounds).map { _ => (runForked(n1, table), runForked(n4, table)) }
-    val tN = samples.map(_._1).min
-    val t4N = samples.map(_._2).min
-    val speedup = tN / t4N
-    val efficiency = speedup / (n4.toDouble / n1.toDouble)
+    val scaling: String =
+      try {
+        val table = java.nio.file.Files.createTempDirectory("graft_pages").toString
+        IcebergLite.write(PageGen.pages(spark0, nUrls), table)
+        val totalRows = IcebergLite.currentManifest(table).get.totalRows
+        spark0.stop()
+        val (n1, n4) = sys.env.get("SPARK_GRAFT_SCALE_CORES") match {
+          case Some(s) => val a = s.split(","); (a(0).trim.toInt, a(1).trim.toInt)
+          case None => (2, 8)
+        }
+        // interleaved rounds: host performance fluctuates minute-to-minute, so
+        // both sizes must sample the same windows; min per size across rounds
+        val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+        val samples = (1 to rounds).map { _ => (runForked(n1, table), runForked(n4, table)) }
+        val tN = samples.map(_._1).min
+        val t4N = samples.map(_._2).min
+        val speedup = tN / t4N
+        val efficiency = speedup / (n4.toDouble / n1.toDouble)
+        s"""{"n_cores":$n1,"n4_cores":$n4,"rows":$totalRows,""" +
+          s""""sec_n":$tN,"sec_4n":$t4N,"docs_per_sec_n":${totalRows / tN},"docs_per_sec_4n":${totalRows / t4N},""" +
+          s""""speedup":$speedup,"efficiency":$efficiency}"""
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] pages pipeline failed: ${e.getMessage}")
+          """{"error":"pages pipeline failed"}"""
+      }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val scaling =
-      s"""{"n_cores":$n1,"n4_cores":$n4,"rows":$totalRows,""" +
-      s""""sec_n":$tN,"sec_4n":$t4N,"docs_per_sec_n":${totalRows / tN},"docs_per_sec_4n":${totalRows / t4N},""" +
-      s""""speedup":$speedup,"efficiency":$efficiency}"""
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pages_pipeline":$scaling}""")
   }
