@@ -67,37 +67,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val nUrls = sys.env.getOrElse("SPARK_GRAFT_PAGE_URLS", "400000").toLong
+    val nUrls = sys.env.getOrElse("SPARK_GRAFT_PAGE_URLS", "1200000").toLong
 
-    // ---- per-query timings at the driver-requested core count
-    val spark0 = session(cpus)
-    val results =
-      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Map.empty[String, Double]
-      else SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark0, sfDir).count() } catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-
-    // ---- page pipeline scaling (never allowed to kill the queries output).
-    // Scaling pair: this sandbox host throttles sustained load beyond ~8-12
-    // busy cores (burstable CPU: 16- and 32-thread runs degrade 3-6x after
-    // the first iterations while <=8-thread runs stay stable), so the
-    // sustained-honest two-cluster-size comparison is 2 vs 8 cores by
-    // default; override with SPARK_GRAFT_SCALE_CORES=n,4n.
+    // ---- page pipeline scaling FIRST (never allowed to kill the queries
+    // output). This host is a burstable VM: a long high-thread query suite
+    // depletes CPU credit and poisons any measurement that follows (the
+    // round-1 artifact recorded 8 cores *slower* than 2 right after a 206 s
+    // 32-thread suite), so the scaling evidence is collected on a fresh
+    // host before anything else runs.
+    // Scaling pair: sustained load beyond ~8-12 busy threads throttles
+    // 3-6x, so the sustained-honest two-cluster-size comparison is 2 vs 8
+    // cores by default; override with SPARK_GRAFT_SCALE_CORES=n,4n.
     val scaling: String =
-      try {
+      if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) """{"skipped":true}"""
+      else try {
+        // generate the table at <=8 threads (credit-friendly), own session
+        val genSpark = session(math.min(cpus, 8))
         val table = java.nio.file.Files.createTempDirectory("graft_pages").toString
-        IcebergLite.write(PageGen.pages(spark0, nUrls), table)
+        IcebergLite.write(PageGen.pages(genSpark, nUrls), table)
         val totalRows = IcebergLite.currentManifest(table).get.totalRows
-        spark0.stop()
+        genSpark.stop()
         val (n1, n4) = sys.env.get("SPARK_GRAFT_SCALE_CORES") match {
           case Some(s) => val a = s.split(","); (a(0).trim.toInt, a(1).trim.toInt)
           case None => (2, 8)
         }
         // interleaved rounds: host performance fluctuates minute-to-minute, so
         // both sizes must sample the same windows; min per size across rounds
-        val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+        val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
         val samples = (1 to rounds).map { _ => (runForked(n1, table), runForked(n4, table)) }
         val tN = samples.map(_._1).min
         val t4N = samples.map(_._2).min
@@ -110,6 +106,18 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] pages pipeline failed: ${e.getMessage}")
           """{"error":"pages pipeline failed"}"""
+      }
+
+    // ---- per-query timings at the driver-requested core count
+    val results =
+      if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Map.empty[String, Double]
+      else {
+        val spark0 = session(cpus)
+        try SparkEntry.queries.map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark0, sfDir).count() } catch { case _: Throwable => () }
+          name -> (System.nanoTime() - t0) / 1e9
+        } finally spark0.stop()
       }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -105,9 +105,16 @@ object Dedup {
     df.withColumn("minhash", f(col(textCol)))
   }
 
-  /** LSH candidate pairs: band the signature, bucket-join within bands,
-    * emit unordered id pairs (a < b) with the estimated Jaccard from full
+  /** LSH candidate pairs: band the signature, bucket within bands, emit
+    * unordered id pairs (a < b) with the estimated Jaccard from full
     * signature agreement. `maxBucket` caps pathological buckets.
+    *
+    * Shuffle discipline (this ran at 48% of the round-1 bench before the
+    * rework): the band shuffle carries `(band_idx, band_hash, id)` ONLY —
+    * never the 64-long signature (which would be ×bands copies of it) —
+    * pairs are deduped across bands first, and the signatures are joined
+    * back exactly once per distinct pair to score. Signatures are
+    * persisted so the shingling UDF runs one scan, not three.
     */
   def minhashCandidatePairs(
       df: DataFrame,
@@ -121,35 +128,41 @@ object Dedup {
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sigDf = withMinhash(df, textCol, numHashes, shingleK, seed)
+    val sigs = withMinhash(df, textCol, numHashes, shingleK, seed)
       .select(col(idCol).as("id"), col("minhash"))
-      .withColumn(
-        "band",
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = sigs
+      .select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band_idx"), xxhash64(slice(col("minhash"), b * rows + 1, lit(rows))).as("band_hash"))
-        ))
-      )
-      .select(col("id"), col("minhash"), col("band.band_idx"), col("band.band_hash"))
+        )).as("band"))
+      .select(col("band.band_idx"), col("band.band_hash"), col("id"))
 
-    // bucket = (band_idx, band_hash); cap bucket size, emit intra-bucket pairs
-    val bucketed = sigDf
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("id")))
-      )
-      .filter(col("rn") <= maxBucket)
-    val a = bucketed.select(col("band_idx"), col("band_hash"), col("id").as("id_a"), col("minhash").as("mh_a"))
-    val b = bucketed.select(col("band_idx"), col("band_hash"), col("id").as("id_b"), col("minhash").as("mh_b"))
-    val paired = a
-      .join(b, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
+    // one aggregation per bucket: sorted id list capped at maxBucket, then
+    // intra-bucket pairs exploded from the list (no self-join, no window)
+    val buckets = banded
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairArr = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+        struct(x.as("id_a"), y.as("id_b")))))
+    val cand = buckets
+      .select(explode(pairArr).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+
+    // signatures join back once per distinct pair; scored once
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("minhash").as("mh_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("minhash").as("mh_b")), Seq("id_b"))
       .select(
         col("id_a"),
         col("id_b"),
         (size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => (x === y).cast("int")), v => v === 1))
           .cast("double") / lit(numHashes.toDouble)).as("est_jaccard")
       )
-    paired.groupBy("id_a", "id_b").agg(first("est_jaccard").as("est_jaccard"))
   }
 
   // ---------------------------------------------------------------- SimHash
@@ -226,18 +239,33 @@ object Dedup {
       textCol: String,
       shingleK: Int = 5
   ): DataFrame = {
-    val jac = udf { (a: String, b: String) =>
-      val sa = shingleHashes(a, shingleK).toSet
-      val sb = shingleHashes(b, shingleK).toSet
-      if (sa.isEmpty && sb.isEmpty) 1.0
-      else (sa & sb).size.toDouble / (sa | sb).size.toDouble
+    // shingle ONCE per document (a doc in k candidate pairs would otherwise
+    // be re-shingled k times — at boilerplate-heavy corpora k reaches the
+    // hundreds); pairs then merge two sorted hash arrays in O(na+nb)
+    val shingle = udf { (s: String) =>
+      val arr = shingleHashes(s, shingleK).toArray
+      java.util.Arrays.sort(arr)
+      arr
     }
-    val texts = df.select(col(idCol).as("__id"), col(textCol).as("__text"))
+    val jac = udf { (a: Array[Long], b: Array[Long]) =>
+      if (a.isEmpty && b.isEmpty) 1.0
+      else {
+        var i = 0; var j = 0; var inter = 0
+        while (i < a.length && j < b.length) {
+          val x = a(i); val y = b(j)
+          if (x == y) { inter += 1; i += 1; j += 1 }
+          else if (x < y) i += 1
+          else j += 1
+        }
+        inter.toDouble / (a.length + b.length - inter).toDouble
+      }
+    }
+    val sh = df.select(col(idCol).as("__id"), shingle(col(textCol)).as("__sh"))
     pairs
-      .join(texts.withColumnRenamed("__id", "id_a").withColumnRenamed("__text", "text_a"), Seq("id_a"))
-      .join(texts.withColumnRenamed("__id", "id_b").withColumnRenamed("__text", "text_b"), Seq("id_b"))
-      .withColumn("jaccard", round(jac(col("text_a"), col("text_b")), 6))
-      .drop("text_a", "text_b")
+      .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", round(jac(col("sh_a"), col("sh_b")), 6))
+      .drop("sh_a", "sh_b")
   }
 
   /** Exact word n-gram Jaccard similarity for all pairs sharing at least

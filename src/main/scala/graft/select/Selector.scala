@@ -1,6 +1,7 @@
 package graft.select
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import scala.collection.mutable
 
@@ -12,10 +13,12 @@ import graft.carve.{BinaryCarver, Stats}
   *
   * Cluster shape: gate + qualitative association come from ONE long-form
   * `groupBy(feature, value)` pass (shared with the carver's histogram
-  * machinery); quantitative association (Pearson, Spearman) is one wide
-  * aggregation; redundancy needs one correlation pass over the candidate
-  * quantitative block and one `groupBy(a, b)` per qualitative pair that
-  * the best-first walk actually inspects.
+  * machinery); quantitative association is one wide aggregation (Pearson)
+  * plus one melt-groupBy pass (Spearman from average ranks over grouped
+  * counts — cardinality-sized, never a global row sort); redundancy is ONE
+  * correlation-matrix aggregation over the quantitative block and ONE
+  * batched crosstab job over the qualitative pairs — the best-first walk
+  * itself launches zero Spark jobs.
   */
 object Selector {
 
@@ -69,8 +72,12 @@ object Selector {
     }.toMap
   }
 
-  /** One wide aggregation: per-feature nan fraction + Pearson corr with the
-    * target; plus a second pass for Spearman (corr of rank transforms).
+  /** Quantitative metrics in two jobs for ALL features: one wide
+    * aggregation (nan fraction, Pearson, cardinality) and one melt-groupBy
+    * pass for Spearman. Spearman uses average ranks computed from grouped
+    * (feature, value[, y]) counts — the shuffles are sized by column
+    * cardinality, not row count, and every window is partitioned by
+    * feature id (never the round-1 global single-partition `percent_rank`).
     */
   def quantitativeMetrics(
       df: DataFrame,
@@ -88,59 +95,142 @@ object Selector {
       )
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    // Spearman: correlate fractional ranks (percent_rank over each feature and y)
-    val ranked = quants.foldLeft(
-      df.withColumn("__ry", percent_rank().over(org.apache.spark.sql.expressions.Window.orderBy(y)))
-    ) { (d, n) =>
-      d.withColumn(s"__r_$n", percent_rank().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col(n).cast("double"))))
-    }
-    val spAggs = quants.map(n => safeCorr(col(s"__r_$n"), col("__ry")).as(s"${n}__sp"))
-    val spRow = ranked.agg(spAggs.head, spAggs.tail: _*).head()
+    val sp = spearmanByFeature(df, target, quants)
 
-    quants.zipWithIndex.map { case (n, i) =>
+    quants.map { n =>
       val nanF = Option(row.getAs[java.lang.Double](s"${n}__nan")).map(_.toDouble).getOrElse(0.0)
       val pearson = Option(row.getAs[java.lang.Double](s"${n}__corr")).map(_.toDouble).getOrElse(Double.NaN)
       val card = row.getAs[Long](s"${n}__card")
-      val sp = Option(spRow.getAs[java.lang.Double](s"${n}__sp")).map(_.toDouble).getOrElse(Double.NaN)
       n -> FeatureRank(n, "quantitative", nanF, Double.NaN, card,
-        math.abs(pearson), sp, passedGates = true)
+        math.abs(pearson), sp.getOrElse(n, Double.NaN), passedGates = true)
     }.toMap
   }
 
-  /** Pairwise redundancy for the best-first walk: |Pearson| for two
-    * quantitative features (one tiny agg), Cramér's V from a
-    * `groupBy(a, b)` crosstab for two qualitatives.
+  /** Spearman rho per feature vs the target, over rows where the feature is
+    * non-null. Average-rank (tie-corrected) formulation as the Pearson
+    * correlation of rank transforms, computed entirely from grouped counts:
+    *
+    *  - melt to (fid, v, yv) and count — one shuffle sized by Σ per-feature
+    *    (value × target-value) cardinality;
+    *  - rank(v) within fid from the per-(fid, v) cumulative counts;
+    *  - rank(yv) within fid likewise (the feature's null rows are excluded,
+    *    so target ranks are per-feature);
+    *  - weighted Pearson over the grouped triples.
     */
+  def spearmanByFeature(df: DataFrame, target: String, quants: Seq[String]): Map[String, Double] = {
+    if (quants.isEmpty) return Map.empty
+    val melted = df
+      .select(col(target).cast("double").as("yv"),
+        explode(map(quants.flatMap(n => Seq(lit(n), col(n).cast("double"))): _*)).as(Seq("fid", "v")))
+      .filter(col("v").isNotNull && !isnan(col("v")) && col("yv").isNotNull)
+    val g = melted.groupBy(col("fid"), col("v"), col("yv")).agg(count(lit(1)).as("cnt"))
+
+    def avgRank(grouped: DataFrame, valueCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("fid")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grouped
+        .withColumn("cum", sum(col("n")).over(w))
+        .select(col("fid"), col(valueCol),
+          (col("cum") - col("n") + (col("n") + 1) / 2.0).as(out))
+    }
+    val rx = avgRank(g.groupBy("fid", "v").agg(sum("cnt").as("n")), "v", "rx")
+    val ry = avgRank(g.groupBy("fid", "yv").agg(sum("cnt").as("n")), "yv", "ry")
+
+    val joined = g.join(rx, Seq("fid", "v")).join(ry, Seq("fid", "yv"))
+    val stats = joined.groupBy("fid").agg(
+      sum(col("cnt")).cast("double").as("n"),
+      sum(col("cnt") * col("rx")).as("sx"),
+      sum(col("cnt") * col("ry")).as("sy"),
+      sum(col("cnt") * col("rx") * col("rx")).as("sxx"),
+      sum(col("cnt") * col("ry") * col("ry")).as("syy"),
+      sum(col("cnt") * col("rx") * col("ry")).as("sxy")
+    ).collect()
+    stats.map { r =>
+      val (n, sx, sy, sxx, syy, sxy) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      val den = math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      r.getString(0) -> (if (den == 0 || den.isNaN) Double.NaN else (n * sxy - sx * sy) / den)
+    }.toMap
+  }
+
   /** ANSI-safe Pearson correlation: Spark 4's `corr` throws DIVIDE_BY_ZERO
     * on constant columns under ANSI mode; this returns null instead.
     */
   private def safeCorr(a: Column, b: Column): Column =
     try_divide(covar_samp(a, b), stddev_samp(a) * stddev_samp(b))
 
+  /** Full |Pearson| matrix over a quantitative block in ONE aggregation
+    * (k stddevs + k(k−1)/2 covariances as codegen'd agg expressions).
+    */
+  def quantCorrMatrix(df: DataFrame, quants: Seq[String]): Map[(String, String), Double] = {
+    if (quants.size < 2) return Map.empty
+    val pairs = for { i <- quants.indices; j <- i + 1 until quants.size } yield (quants(i), quants(j))
+    val aggs = quants.map(n => stddev_samp(col(n).cast("double")).as(s"sd__$n")) ++
+      pairs.zipWithIndex.map { case ((a, b), k) =>
+        covar_samp(col(a).cast("double"), col(b).cast("double")).as(s"cv__$k")
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    def get(n: String): Option[Double] = Option(row.getAs[java.lang.Double](n)).map(_.toDouble)
+    pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val r = (for {
+        sa <- get(s"sd__$a"); sb <- get(s"sd__$b"); cv <- get(s"cv__$k")
+        if sa * sb > 0
+      } yield math.abs(cv / (sa * sb))).getOrElse(0.0)
+      Seq((a, b) -> r, (b, a) -> r)
+    }.toMap
+  }
+
+  /** Cramér's V for every qualitative pair in ONE batched crosstab job:
+    * each row emits one (pair, value_a, value_b) per pair, a single
+    * groupBy counts them all, and the tiny grouped result collects once.
+    */
+  def qualPairMatrix(df: DataFrame, quals: Seq[String]): Map[(String, String), Double] = {
+    if (quals.size < 2) return Map.empty
+    val pairs = for { i <- quals.indices; j <- i + 1 until quals.size } yield (quals(i), quals(j))
+    val pairStructs = pairs.zipWithIndex.map { case ((a, b), k) =>
+      struct(lit(k).as("pid"), col(a).cast("string").as("va"), col(b).cast("string").as("vb"))
+    }
+    val counts = df
+      .select(explode(array(pairStructs: _*)).as("p"))
+      .groupBy(col("p.pid"), col("p.va"), col("p.vb"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val byPair = counts.groupBy(_.getInt(0))
+    pairs.zipWithIndex.flatMap { case ((a, b), k) =>
+      val rows = byPair.getOrElse(k, Array.empty)
+      val aVals = rows.map(_.getString(1)).distinct.zipWithIndex.toMap
+      val bVals = rows.map(_.getString(2)).distinct.zipWithIndex.toMap
+      val v =
+        if (aVals.size < 2 || bVals.size < 2) 0.0
+        else {
+          val obs = Array.fill(aVals.size, bVals.size)(0.0)
+          rows.foreach(r => obs(aVals(r.getString(1)))(bVals(r.getString(2))) += r.getLong(3).toDouble)
+          val chi2 = Stats.pearsonChi2(obs, guardZeroExpected = true)
+          Stats.cramervTschuprowtUnrounded(chi2, rows.map(_.getLong(3)).sum.toDouble,
+            aVals.size.toDouble, bVals.size.toDouble)._1
+        }
+      Seq((a, b) -> v, (b, a) -> v)
+    }.toMap
+  }
+
+  /** Single-pair association (kept for targeted checks; `select` uses the
+    * batched matrices instead of per-pair jobs).
+    */
   def pairAssociation(df: DataFrame, a: FeatureRank, b: FeatureRank): Double = {
-    if (a.kind == "quantitative" && b.kind == "quantitative") {
-      val r = df.agg(safeCorr(col(a.name).cast("double"), col(b.name).cast("double"))).head()
-      Option(r.getAs[java.lang.Double](0)).map(d => math.abs(d)).getOrElse(0.0)
-    } else if (a.kind == "categorical" && b.kind == "categorical") {
-      val counts = df.groupBy(col(a.name).cast("string").as("a"), col(b.name).cast("string").as("b"))
-        .agg(count(lit(1)).as("n")).collect()
-      val aVals = counts.map(_.getString(0)).distinct.zipWithIndex.toMap
-      val bVals = counts.map(_.getString(1)).distinct.zipWithIndex.toMap
-      if (aVals.size < 2 || bVals.size < 2) return 0.0
-      val obs = Array.fill(aVals.size, bVals.size)(0.0)
-      counts.foreach(r => obs(aVals(r.getString(0)))(bVals(r.getString(1))) += r.getLong(2).toDouble)
-      val chi2 = Stats.pearsonChi2(obs, guardZeroExpected = true)
-      Stats.cramervTschuprowtUnrounded(chi2, counts.map(_.getLong(2)).sum.toDouble,
-        aVals.size.toDouble, bVals.size.toDouble)._1
-    } else 0.0 // mixed-kind redundancy not filtered (matches reference split by type)
+    if (a.kind == "quantitative" && b.kind == "quantitative")
+      quantCorrMatrix(df, Seq(a.name, b.name)).getOrElse((a.name, b.name), 0.0)
+    else if (a.kind == "categorical" && b.kind == "categorical")
+      qualPairMatrix(df, Seq(a.name, b.name)).getOrElse((a.name, b.name), 0.0)
+    else 0.0 // mixed-kind redundancy not filtered (matches reference split by type)
   }
 
   final case class Selection(kept: Vector[FeatureRank], dropped: Vector[(FeatureRank, String)])
 
   /** Best-first selection (`selectors/filters`): gate, rank by association
     * desc, walk best-first dropping any feature too associated with an
-    * already-kept better one, stop at nBest per kind.
+    * already-kept better one, stop at nBest per kind. All pairwise
+    * associations are precomputed in two batched jobs; the walk is pure
+    * driver-side lookups.
     */
   def select(
       df: DataFrame,
@@ -160,6 +250,11 @@ object Selector {
       else if (!cardOk) dropped += ((m, "constant"))
       nanOk && modeOk && cardOk
     }
+    // pairwise association matrices over the gated survivors only
+    val gatedQuants = gated.filter(_.kind == "quantitative").map(_.name)
+    val gatedQuals = gated.filter(_.kind == "categorical").map(_.name)
+    val assoc = quantCorrMatrix(df, gatedQuants) ++ qualPairMatrix(df, gatedQuals)
+
     val ranked = gated.sortBy(m => (-nz(m.association), m.name))
     val kept = mutable.ArrayBuffer.empty[FeatureRank]
     ranked.foreach { m =>
@@ -167,7 +262,7 @@ object Selector {
       if (perKind >= config.nBest) dropped += ((m, "budget"))
       else {
         val redundantWith = kept.find(k =>
-          k.kind == m.kind && pairAssociation(df, k, m) > config.redundancyThreshold)
+          k.kind == m.kind && assoc.getOrElse((k.name, m.name), 0.0) > config.redundancyThreshold)
         redundantWith match {
           case Some(k) => dropped += ((m, s"redundant_with=${k.name}"))
           case None => kept += m
