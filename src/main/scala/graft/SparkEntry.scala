@@ -200,6 +200,58 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("feature", "bin", "bin_label", "mean_y", "n")
     }),
+    "q_carve_ordinal" -> ((s, dir) => {
+      import graft.carve.{BinaryCarver, OrdinalCarver}
+      // 4-level ordinal target from doc length; carve token count + lang
+      val df = Tables.documents(s, dir)
+        .withColumn("y", lit(1) + (col("n_chars") > 150).cast("int")
+          + (col("n_chars") > 300).cast("int") + (col("n_chars") > 450).cast("int"))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
+      val m = OrdinalCarver.fit(df, "y", Seq(
+        BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical")))
+      val rows = m.kept.flatMap(f => f.feature.rates.zipWithIndex.map { case (r, i) =>
+        (f.feature.name, i.toLong, f.feature.binLabels(i),
+          BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+      })
+      import s.implicits._
+      rows.toDF("feature", "bin", "bin_label", "mean_ridit", "n")
+    }),
+    "q_carve_multiclass" -> ((s, dir) => {
+      import graft.carve.{BinaryCarver, MulticlassCarver}
+      // 3-class unordered target from doc length tertiles; carve tokens + lang
+      val df = Tables.documents(s, dir)
+        .withColumn("y", when(col("n_chars") > 350, "high")
+          .when(col("n_chars") > 200, "mid").otherwise("low"))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
+      val m = MulticlassCarver.fit(df, "y", Seq(
+        BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical")))
+      val rows = m.kept.flatMap(f => f.feature.rates.zipWithIndex.map { case (r, i) =>
+        (f.feature.name, i.toLong, f.feature.binLabels(i),
+          BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+      })
+      import s.implicits._
+      rows.toDF("feature", "bin", "bin_label", "ca_score", "n")
+    }),
+    "q_carve_ovr" -> ((s, dir) => {
+      import graft.carve.{BinaryCarver, OneVsRestCarver}
+      val df = Tables.documents(s, dir)
+        .withColumn("y", when(col("n_chars") > 350, "high")
+          .when(col("n_chars") > 200, "mid").otherwise("low"))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
+      val m = OneVsRestCarver.fit(df, "y", Seq(
+        BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical")))
+      val rows = m.classes.flatMap { yClass =>
+        m.perClass(yClass).kept.flatMap(f => f.rates.zipWithIndex.map { case (r, i) =>
+          (yClass, f.name, i.toLong, f.binLabels(i),
+            BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+        })
+      }
+      import s.implicits._
+      rows.toDF("y_class", "feature", "bin", "bin_label", "rate", "n")
+    }),
     // ------------------------------------------------------------- selector
     "q_select" -> ((s, dir) => {
       val df = Tables.documents(s, dir).withColumn("y", docLabel)
@@ -214,7 +266,40 @@ object SparkEntry {
             .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble) })
         .toDF("feature", "kind", "status", "association")
     }),
+    "q_select_pearson" -> ((s, dir) => {
+      // selector ranking measures with a hard oracle: |pearson| + cardinality
+      val df = Tables.documents(s, dir).withColumn("y", docLabel)
+      val m = graft.select.Selector.quantitativeMetrics(df, "y", Seq("n_chars", "doc_id"))
+      import s.implicits._
+      Seq("n_chars", "doc_id").map { n =>
+        val r = m(n)
+        (n, BigDecimal(r.association).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.cardinality)
+      }.toDF("feature", "abs_corr", "card")
+    }),
+    // --------------------------------------------------- dedup verification
+    "q_jaccard_verify" -> ((s, dir) => {
+      // exact shingle-jaccard verification over a deterministic pair set
+      // (oracle-able form of the LSH->verify stage)
+      val d = Tables.documents(s, dir)
+      val pairs = d.select(col("doc_id").as("id_a")).filter(col("id_a") < 200)
+        .withColumn("id_b", col("id_a") + 1)
+      Dedup.verifyPairsJaccard(pairs, d, "doc_id", "text")
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }),
     // ------------------------------------------------------------ stability
+    "q_psi_fixed" -> ((s, dir) => {
+      // PSI of the n_chars distribution between even/odd doc halves over
+      // fixed 100-char bins — the M1 formula with a SQL oracle
+      val d = Tables.documents(s, dir)
+        .withColumn("bin", least(floor(col("n_chars") / 100), lit(5)).cast("long"))
+      val base = d.filter(col("doc_id") % 2 === 0).groupBy("bin").agg(count(lit(1)).as("nb"))
+      val cur = d.filter(col("doc_id") % 2 === 1).groupBy("bin").agg(count(lit(1)).as("nc"))
+      val tb = d.filter(col("doc_id") % 2 === 0).count().toDouble
+      val tc = d.filter(col("doc_id") % 2 === 1).count().toDouble
+      base.join(cur, Seq("bin"))
+        .select(col("bin"),
+          round((col("nb") / tb - col("nc") / tc) * log(col("nb") / tb / (col("nc") / tc)), 6).as("psi_part"))
+    }),
     "q_stability" -> ((s, dir) => {
       val df = Tables.documents(s, dir).withColumn("y", docLabel)
       val m = carveDocs(s, dir)
@@ -328,6 +413,69 @@ object SparkEntry {
            FROM embeddings q, embeddings c
            WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
          ) WHERE rank <= 5""",
+    "q_quality_score" ->
+      """WITH q AS (
+           SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS n_tokens,
+             length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct_cnt,
+             len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                 x -> x IN ('the','a','of','and','to','in','is','it','on','for'))) AS stop_cnt,
+             length(text) AS char_len
+           FROM documents)
+         SELECT doc_id,
+           round(least(n_tokens / 50.0, 1.0) * 0.4
+             + greatest(1.0 - (punct_cnt * 1.0 / greatest(char_len, 1)) * 5.0, 0.0) * 0.3
+             + (CASE WHEN stop_cnt * 1.0 / greatest(n_tokens, 1) BETWEEN 0.05 AND 0.6
+                     THEN 1.0 ELSE 0.5 END) * 0.3, 6) AS quality
+         FROM q""",
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id,
+           len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu'))) AS s_de,
+           len(list_filter(toks, x -> x IN ('the','and','of','to','is','it','for','with','that','this'))) AS s_en,
+           len(list_filter(toks, x -> x IN ('el','la','los','las','es','una','por','que','con','para'))) AS s_es,
+           len(list_filter(toks, x -> x IN ('le','la','les','et','est','pas','une','pour','que','des'))) AS s_fr,
+           len(list_filter(toks, x -> x IN ('il','lo','la','che','non','per','una','sono','del','con'))) AS s_it,
+           len(list_filter(toks, x -> x IN ('o','os','um','uma','que','com','para','mais','dos','das'))) AS s_pt
+           FROM t)
+         SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) = 0 THEN 'und'
+                WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'de'
+                WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'en'
+                WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'es'
+                WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'fr'
+                WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'it'
+                ELSE 'pt' END AS pred_lang
+         FROM s""",
+    "q_select_pearson" ->
+      """SELECT 'n_chars' AS feature,
+           round(abs(corr(n_chars, CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)), 6) AS abs_corr,
+           count(DISTINCT n_chars) AS card
+         FROM documents
+         UNION ALL
+         SELECT 'doc_id',
+           round(abs(corr(doc_id, CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)), 6),
+           count(DISTINCT doc_id)
+         FROM documents""",
+    "q_jaccard_verify" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents WHERE doc_id <= 200),
+         sh AS (SELECT doc_id,
+                list_distinct([substr(txt, i, 5) for i in range(1, greatest(length(txt) - 3, 1))]) AS sh
+                FROM t),
+         pairs AS (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM t WHERE doc_id < 200)
+         SELECT p.id_a, p.id_b,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / len(list_distinct(x.sh || y.sh)), 6) AS jaccard
+         FROM pairs p JOIN sh x ON x.doc_id = p.id_a JOIN sh y ON y.doc_id = p.id_b""",
+    "q_psi_fixed" ->
+      """WITH b AS (SELECT least(CAST(floor(n_chars / 100) AS BIGINT), 5) AS bin, doc_id FROM documents),
+         base AS (SELECT bin, count(*) AS nb FROM b WHERE doc_id % 2 = 0 GROUP BY bin),
+         cur AS (SELECT bin, count(*) AS nc FROM b WHERE doc_id % 2 = 1 GROUP BY bin),
+         tot AS (SELECT (SELECT count(*) FROM b WHERE doc_id % 2 = 0) AS tb,
+                        (SELECT count(*) FROM b WHERE doc_id % 2 = 1) AS tc)
+         SELECT bin, round((nb * 1.0 / tb - nc * 1.0 / tc) * ln((nb * 1.0 / tb) / (nc * 1.0 / tc)), 6) AS psi_part
+         FROM base JOIN cur USING (bin), tot""",
     "q_prebin_quantiles" ->
       """WITH hist AS (SELECT CAST(n_chars AS DOUBLE) AS v, count(*) AS cnt
                        FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),

@@ -1,0 +1,324 @@
+package graft.carve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+import graft.carve.BinaryCarver.{FeatureSpec, FittedFeature, NanLabel, OtherLabel}
+import graft.carve.OrdinalCarver.{KHistRow, KPrep}
+
+/** Supervised optimal discretization against an UNORDERED multiclass target
+  * (K > 2 classes) — the Spark-native re-expression of the reference's
+  * MulticlassCarver (`carvers/multiclass_carver.py`): one carving per
+  * feature against the full (modalities × classes) crosstab, association by
+  * Tschuprow's T / Cramér's V generalised to K columns, modalities ordered
+  * and viability-rated by correspondence-analysis first-axis score.
+  *
+  * Cluster/driver split mirrors BinaryCarver: ONE
+  * `groupBy(feature, value, class).count()` long-form pass; everything else
+  * is driver-side math over the collected crosstabs.
+  */
+object MulticlassCarver {
+
+  final case class Config(
+      minFreq: Double = 0.02,
+      maxNMod: Int = 5,
+      sortBy: String = "tschuprowt", // tschuprowt (default) | cramerv
+      minFreqAlpha: Double = 0.05,
+      topKInitial: Int = 2000,
+      escalate: Boolean = false,
+      maxHistogramRows: Long = 5000000L
+  )
+
+  final case class MFitted(feature: FittedFeature, cramerv: Double, tschuprowt: Double)
+
+  final case class Model(
+      target: String,
+      minFreq: Double,
+      maxNMod: Int,
+      sortBy: String,
+      classes: Vector[String],
+      features: Vector[MFitted]
+  ) {
+    def kept: Vector[MFitted] = features.filterNot(_.feature.dropped)
+    private def binaryView = BinaryCarver.Model(target, minFreq, maxNMod, sortBy, features.map(_.feature))
+    def transform(df: DataFrame, keepOriginal: Boolean = false): DataFrame =
+      binaryView.transform(df, keepOriginal)
+    def transformLabels(df: DataFrame): DataFrame = binaryView.transformLabels(df)
+  }
+
+  /** The one cluster pass for a string-class target: classes map to their
+    * sorted (canonical) column order — `get_multiclass_crosstab` pins the
+    * same order in the reference. Returns (histograms, sorted classes).
+    */
+  def histogramM(df: DataFrame, target: String, specs: Seq[FeatureSpec]): (Map[String, Array[KHistRow]], Vector[String]) = {
+    val y = col(target).cast("string")
+    val entries = specs.map { s =>
+      if (s.kind == "quantitative")
+        struct(lit(s.name).as("fid"), col(s.name).cast("double").as("dv"),
+          lit(null).cast("string").as("sv"))
+      else
+        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
+          col(s.name).cast("string").as("sv"))
+    }
+    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"))
+    val agg = long
+      .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"), col("__y"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val classes = agg.map(_.getString(3)).distinct.sorted.toVector
+    val classIdx = classes.zipWithIndex.toMap
+    val byFid = mutable.Map.empty[String, mutable.ArrayBuffer[KHistRow]]
+    agg.foreach { r =>
+      val dvNull = r.isNullAt(1)
+      val svNull = r.isNullAt(2)
+      byFid.getOrElseUpdate(r.getString(0), mutable.ArrayBuffer.empty) += KHistRow(
+        if (dvNull) Double.NaN else r.getDouble(1),
+        if (svNull) null else r.getString(2),
+        dvNull && svNull,
+        classIdx(r.getString(3)).toDouble,
+        r.getLong(4)
+      )
+    }
+    (byFid.view.mapValues(_.toArray).toMap, classes)
+  }
+
+  def fit(
+      train: DataFrame,
+      target: String,
+      specs: Seq[FeatureSpec],
+      dev: Option[DataFrame] = None,
+      config: Config = Config()
+  ): Model = {
+    val (trainHist, classes) = histogramM(train, target, specs)
+    require(classes.length > 2,
+      s"[MulticlassCarver] y has ${classes.length} classes; use BinaryCarver for <=2")
+    // dev classes must map into the train class space (unseen dev classes raise
+    // in the reference's ca_row_scores; here the histogram mapping raises)
+    val devHist = dev.map { d =>
+      val (h, devClasses) = histogramM(d, target, specs)
+      val unseen = devClasses.filterNot(classes.contains)
+      require(unseen.isEmpty, s"[MulticlassCarver] dev target carries unseen classes $unseen")
+      val remap = devClasses.zipWithIndex.map { case (c, i) => i.toDouble -> classes.indexOf(c).toDouble }.toMap
+      h.view.mapValues(_.map(r => r.copy(level = remap(r.level)))).toMap
+    }
+    fitFromHistograms(trainHist, devHist, target, specs, classes, config)
+  }
+
+  def fitFromHistograms(
+      trainHist: Map[String, Array[KHistRow]],
+      devHist: Option[Map[String, Array[KHistRow]]],
+      target: String,
+      specs: Seq[FeatureSpec],
+      classes: Vector[String],
+      config: Config = Config()
+  ): Model = {
+    require(specs.nonEmpty, "no features to carve")
+    val histRows = trainHist.values.map(_.length.toLong).sum
+    require(histRows <= config.maxHistogramRows,
+      s"histogram too large ($histRows rows) — use the sketch prebin path for high-cardinality columns")
+    val levels = classes.indices.map(_.toDouble).toVector
+
+    val halfMinFreq = config.minFreq / 2.0
+    val q = math.rint(1.0 / halfMinFreq).toInt
+    def totalOf(name: String): Long = trainHist(name).map(_.count).sum
+
+    val prep: Map[String, KPrep] = specs.map { s =>
+      s.name -> (if (s.kind == "quantitative")
+        prepQuantitativeM(trainHist(s.name), totalOf(s.name), levels, q, halfMinFreq, config)
+      else
+        prepCategoricalM(trainHist(s.name), totalOf(s.name), levels, halfMinFreq, config))
+    }.toMap
+
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fitted = Await.result(
+      Future.traverse(specs.toVector) { spec =>
+        Future {
+          val p = prep(spec.name)
+          val devX = devHist.map(h => OrdinalCarver.devKXaggOf(spec, p, h.getOrElse(spec.name, Array.empty), levels))
+          searchFeatureM(spec, p, devX.filter(_.labels.nonEmpty), config)
+        }
+      },
+      Duration.Inf
+    )
+    Model(target, config.minFreq, config.maxNMod, config.sortBy, classes, fitted)
+  }
+
+  /** Quantitative prep for a nominal target: quantile prebin as usual; the
+    * rare-prebin merge "rate" is the prebin's CA first-axis score against
+    * the class crosstab (`ordinal_discretizer.py:compute_stats` — an
+    * unordered target has no numeric mean).
+    */
+  private[carve] def prepQuantitativeM(
+      hist: Array[KHistRow], total: Long, levels: Vector[Double],
+      q: Int, halfMinFreq: Double, config: Config
+  ): KPrep = {
+    val levelIdx = levels.zipWithIndex.toMap
+    val nonNull = hist.filterNot(_.isNull)
+    val nanRows = hist.filter(_.isNull)
+    val byVal = mutable.TreeMap.empty[Double, Long]
+    nonNull.foreach(r => byVal(r.dv) = byVal.getOrElse(r.dv, 0L) + r.count)
+    val edges = Prebin.findQuantiles(byVal.keys.toArray, byVal.values.toArray, total, q)
+    val nPrebins = edges.length + 1
+    val mat = Array.fill(nPrebins, levels.length)(0.0)
+    val cnt = new Array[Double](nPrebins)
+    nonNull.foreach { r =>
+      val idx = BinaryCarver.searchsortedLeft(edges, r.dv)
+      mat(idx)(levelIdx(r.level)) += r.count
+      cnt(idx) += r.count
+    }
+    val labels = Vector.tabulate(nPrebins)(BinaryCarver.quantLabel)
+    val hasRare = cnt.exists(c => Stats.isSignificantlyBelow(c, total, halfMinFreq, config.minFreqAlpha))
+    val groups =
+      if (hasRare) {
+        // per-prebin CA score × count as the merge "target sum"
+        val scores = Ca.caRowScores(mat, Ca.fitCaAxis(mat))
+        val sy = Array.tabulate(nPrebins)(i => cnt(i) * scores(i))
+        Prebin.findCommonModalities(labels, cnt, sy, total, halfMinFreq, config.minFreqAlpha)
+      } else labels.map(Vector(_))
+    val leaderOf = groups.flatMap(g => g.map(_ -> g.head)).toMap
+    val order = groups.map(_.head)
+    val pos = labels.zipWithIndex.toMap
+    val gMat = groups.map { g =>
+      val row = new Array[Double](levels.length)
+      g.foreach { l => val p = pos(l); var j = 0; while (j < row.length) { row(j) += mat(p)(j); j += 1 } }
+      row
+    }.toArray
+    val hasNan = nanRows.nonEmpty
+    val nanRow = {
+      val row = new Array[Double](levels.length)
+      nanRows.foreach(r => row(levelIdx(r.level)) += r.count)
+      row
+    }
+    val xLabels = if (hasNan) order :+ NanLabel else order
+    val m = if (hasNan) gMat :+ nanRow else gMat
+    KPrep("quantitative", edges, labels.map(leaderOf), Map.empty, order,
+      Ordinal.KXagg(xLabels, levels, m), hasNan, hasDefault = false)
+  }
+
+  /** Categorical prep for a nominal target: rare→OTHER, then modality order
+    * by CA first-axis score ascending (`categorical_discretizer.py:182-191`,
+    * ties by label via the crosstab's sorted index).
+    */
+  private[carve] def prepCategoricalM(
+      hist: Array[KHistRow], total: Long, levels: Vector[Double],
+      halfMinFreq: Double, config: Config
+  ): KPrep = {
+    val levelIdx = levels.zipWithIndex.toMap
+    val nonNull = hist.filterNot(_.isNull)
+    val nanRows = hist.filter(_.isNull)
+    val valCounts = mutable.Map.empty[String, Double]
+    nonNull.foreach(r => valCounts(r.sv) = valCounts.getOrElse(r.sv, 0.0) + r.count)
+    val rare = Prebin.rareCategoricals(valCounts.toMap, total, halfMinFreq, config.minFreqAlpha, NanLabel).toSet
+    val hasDefault = rare.nonEmpty
+    val valueToRaw = nonNull.map(r => r.sv -> (if (rare(r.sv)) OtherLabel else r.sv)).toMap
+    val mats = mutable.Map.empty[String, Array[Double]]
+    nonNull.foreach { r =>
+      val lbl = valueToRaw(r.sv)
+      mats.getOrElseUpdate(lbl, new Array[Double](levels.length))(levelIdx(r.level)) += r.count
+    }
+    // CA scores over the sorted-label crosstab (pd.crosstab sorts its index)
+    val sortedLabels = mats.keys.toVector.sorted
+    val labelMat = sortedLabels.map(mats(_)).toArray
+    val scores = Ca.caRowScores(labelMat, Ca.fitCaAxis(labelMat))
+    val order = sortedLabels.zip(scores).sortBy(_._2).map(_._1) // stable: ties keep sorted order
+    val hasNan = nanRows.nonEmpty
+    val nanRow = {
+      val row = new Array[Double](levels.length)
+      nanRows.foreach(r => row(levelIdx(r.level)) += r.count)
+      row
+    }
+    val xLabels = if (hasNan) order :+ NanLabel else order
+    val m = (order.map(mats(_)) ++ (if (hasNan) Vector(nanRow) else Vector.empty)).toArray
+    KPrep("categorical", Vector.empty, Vector.empty, valueToRaw, order,
+      Ordinal.KXagg(xLabels, levels, m), hasNan, hasDefault)
+  }
+
+  private[carve] def searchFeatureM(spec: FeatureSpec, p: KPrep, devX: Option[Ordinal.KXagg], config: Config): MFitted = {
+    val best = Multiclass.bestCombination(
+      p.xagg, devX, config.maxNMod, Some(config.minFreq), config.minFreqAlpha,
+      config.sortBy, p.hasNan, NanLabel, dropna = true, config.topKInitial, config.escalate)
+
+    best match {
+      case None =>
+        MFitted(FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,
+          -1, -1, p.hasNan, p.hasDefault, Vector.empty, Double.NaN, Double.NaN,
+          Vector.empty, dropped = true, droppedReason = "no viable combination"),
+          Double.NaN, Double.NaN)
+      case Some(b) =>
+        val labelToBin: Map[String, Int] =
+          b.combination.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
+        val nanBin = labelToBin.getOrElse(NanLabel, -1)
+        val f =
+          if (p.kind == "quantitative") {
+            val prebinToBin = p.prebinLeader.map(l => labelToBin.getOrElse(l, -1))
+            val prep = BinaryCarver.Prep(p.kind, p.prebinEdges, p.prebinLeader, p.valueToRaw,
+              p.rawOrder, Search.Xagg(Vector.empty, Array.empty, Array.empty), p.hasNan, p.hasDefault)
+            val binLabels = BinaryCarver.quantBinLabels(b.combination, prep, nanBin)
+            FittedFeature(spec.name, p.kind, p.prebinEdges, prebinToBin, Map.empty,
+              nanBin, -1, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
+              b.rates, dropped = false, droppedReason = "")
+          } else {
+            val valueToBin = p.valueToRaw.collect {
+              case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
+            }
+            val otherBin = labelToBin.getOrElse(OtherLabel, -1)
+            val binLabels = b.combination.map(g => g.mkString(", "))
+            FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
+              nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
+              b.rates, dropped = false, droppedReason = "")
+          }
+        MFitted(f, b.cramerv, b.tschuprowt)
+    }
+  }
+}
+
+/** One-vs-rest multiclass carving (`carvers/one_vs_rest_carver.py`): the
+  * classes are sorted, the first is dropped, and a full BinaryCarver fit
+  * runs per remaining class on the binarized target `y == class`. Each fit
+  * produces per-class feature versions named `<feature>__y=<class>`
+  * (`features/features.py:866`) — the reference's S2 column aliasing.
+  */
+object OneVsRestCarver {
+
+  final case class Model(
+      target: String,
+      classes: Vector[String], // carved classes (first sorted class dropped)
+      perClass: Map[String, BinaryCarver.Model]
+  ) {
+    def versionName(feature: String, yClass: String): String = s"${feature}__y=$yClass"
+
+    /** Adds one bin column per kept (class, feature) version:
+      * `<feature>__y=<class>_bin`. Pure projection (no shuffle), same as the
+      * binary transform — K−1 bucketize expressions per feature.
+      */
+    def transform(df: DataFrame): DataFrame =
+      classes.foldLeft(df) { (d, yClass) =>
+        val m = perClass(yClass)
+        m.kept.foldLeft(m.transform(d, keepOriginal = true)) { (dd, f) =>
+          dd.withColumnRenamed(s"${f.name}_bin", s"${versionName(f.name, yClass)}_bin")
+        }
+      }
+  }
+
+  def fit(
+      train: DataFrame,
+      target: String,
+      specs: Seq[FeatureSpec],
+      dev: Option[DataFrame] = None,
+      config: BinaryCarver.Config = BinaryCarver.Config()
+  ): Model = {
+    val classes = train.select(col(target).cast("string")).distinct()
+      .collect().map(_.getString(0)).sorted.toVector
+    require(classes.length > 2, s"[OneVsRestCarver] y has ${classes.length} classes; use BinaryCarver for <=2")
+    val carved = classes.drop(1) // reference drops the first sorted class
+    val perClass = carved.map { yClass =>
+      val binTrain = train.withColumn("__ovr_y", (col(target).cast("string") === yClass).cast("int"))
+      val binDev = dev.map(_.withColumn("__ovr_y", (col(target).cast("string") === yClass).cast("int")))
+      yClass -> BinaryCarver.fit(binTrain, "__ovr_y", specs, binDev, config)
+    }.toMap
+    Model(target, carved, perClass)
+  }
+}

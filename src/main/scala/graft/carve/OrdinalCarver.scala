@@ -1,0 +1,322 @@
+package graft.carve
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+import graft.carve.BinaryCarver.{FeatureSpec, FittedFeature, HistRow, NanLabel, OtherLabel}
+
+/** Supervised optimal discretization against an ORDINAL target (integer
+  * encoded, ordered levels, K > 2) — the Spark-native re-expression of the
+  * reference's OrdinalCarver (`carvers/ordinal_carver.py`).
+  *
+  * Cluster/driver split mirrors BinaryCarver: ONE pass over the train table
+  * — `groupBy(feature, value, y_level).count()` in long form — collects the
+  * per-value K-column crosstabs (bounded by cardinality × levels). All
+  * carving (quantile prebin, rare merge, ridit scale, C−D interval DP with
+  * tau-b/tau-c/Somers' D, viability vetoes) runs driver-side on those
+  * aggregates. Transform is the same pure projection as the binary model.
+  */
+object OrdinalCarver {
+
+  final case class Config(
+      minFreq: Double = 0.02,
+      maxNMod: Int = 5,
+      sortBy: String = "tau_c", // tau_c (default) | tau_b | somersd
+      targetScale: String = "ridit", // ridit | level
+      levelValues: Option[Map[Double, Double]] = None,
+      minFreqAlpha: Double = 0.05,
+      topKInitial: Int = 2000,
+      escalate: Boolean = false,
+      maxHistogramRows: Long = 5000000L
+  )
+
+  final case class OFitted(feature: FittedFeature, tauB: Double, tauC: Double, somersd: Double)
+
+  final case class Model(
+      target: String,
+      minFreq: Double,
+      maxNMod: Int,
+      sortBy: String,
+      levels: Vector[Double],
+      features: Vector[OFitted]
+  ) {
+    def kept: Vector[OFitted] = features.filterNot(_.feature.dropped)
+    private def binaryView = BinaryCarver.Model(target, minFreq, maxNMod, sortBy, features.map(_.feature))
+    def transform(df: DataFrame, keepOriginal: Boolean = false): DataFrame =
+      binaryView.transform(df, keepOriginal)
+    def transformLabels(df: DataFrame): DataFrame = binaryView.transformLabels(df)
+  }
+
+  /** One K-histogram row: raw value (numeric or string; null = NaN bucket),
+    * target level, count.
+    */
+  final case class KHistRow(dv: Double, sv: String, isNull: Boolean, level: Double, count: Long)
+
+  /** The one cluster pass: explode features to long form, count per
+    * (feature, value, target level). Map-side partial aggregation keeps the
+    * shuffle at (features × cardinality × levels) rows.
+    */
+  def histogramK(df: DataFrame, target: String, specs: Seq[FeatureSpec]): Map[String, Array[KHistRow]] = {
+    val y = col(target).cast("double")
+    val entries = specs.map { s =>
+      if (s.kind == "quantitative")
+        struct(lit(s.name).as("fid"), col(s.name).cast("double").as("dv"),
+          lit(null).cast("string").as("sv"))
+      else
+        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
+          col(s.name).cast("string").as("sv"))
+    }
+    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"))
+    val agg = long
+      .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"), col("__y"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val byFid = mutable.Map.empty[String, mutable.ArrayBuffer[KHistRow]]
+    agg.foreach { r =>
+      val dvNull = r.isNullAt(1)
+      val svNull = r.isNullAt(2)
+      byFid.getOrElseUpdate(r.getString(0), mutable.ArrayBuffer.empty) += KHistRow(
+        if (dvNull) Double.NaN else r.getDouble(1),
+        if (svNull) null else r.getString(2),
+        dvNull && svNull,
+        r.getDouble(3),
+        r.getLong(4)
+      )
+    }
+    byFid.view.mapValues(_.toArray).toMap
+  }
+
+  def fit(
+      train: DataFrame,
+      target: String,
+      specs: Seq[FeatureSpec],
+      dev: Option[DataFrame] = None,
+      config: Config = Config()
+  ): Model = {
+    val trainHist = histogramK(train, target, specs)
+    val devHist = dev.map(d => histogramK(d, target, specs))
+    fitFromHistograms(trainHist, devHist, target, specs, config)
+  }
+
+  def fitFromHistograms(
+      trainHist: Map[String, Array[KHistRow]],
+      devHist: Option[Map[String, Array[KHistRow]]],
+      target: String,
+      specs: Seq[FeatureSpec],
+      config: Config = Config()
+  ): Model = {
+    require(specs.nonEmpty, "no features to carve")
+    val histRows = trainHist.values.map(_.length.toLong).sum
+    require(histRows <= config.maxHistogramRows,
+      s"histogram too large ($histRows rows) — use the sketch prebin path for high-cardinality columns")
+
+    // global y marginal (all rows of the first feature, NaN bucket included)
+    val yCounts = mutable.Map.empty[Double, Long]
+    trainHist(specs.head.name).foreach(r => yCounts(r.level) = yCounts.getOrElse(r.level, 0L) + r.count)
+    val levels = yCounts.keys.toVector.sorted
+    // y validation (`ordinal_carver.py:119-125`)
+    require(levels.length > 2,
+      s"[OrdinalCarver] y has ${levels.length} levels; use BinaryCarver for <=2")
+    require(levels.forall(l => l == math.rint(l)),
+      "[OrdinalCarver] y must be integer-encoded ordered levels")
+    config.levelValues.foreach { lv =>
+      val missing = levels.filterNot(lv.contains)
+      require(missing.isEmpty, s"[OrdinalCarver] y levels $missing missing from levelValues")
+    }
+
+    // modality pre-sort scale (`ordinal_carver.py:127-139`): train ridits,
+    // or the user's level values
+    val yLevelScores: Map[Double, Double] = config.levelValues.getOrElse {
+      if (config.targetScale == "level") levels.map(l => l -> l).toMap
+      else Ordinal.riditsFromCounts(levels.toArray, levels.map(l => yCounts(l).toDouble).toArray)
+    }
+
+    val halfMinFreq = config.minFreq / 2.0
+    val q = math.rint(1.0 / halfMinFreq).toInt
+    def totalOf(name: String): Long = trainHist(name).map(_.count).sum
+
+    val prep: Map[String, KPrep] = specs.map { s =>
+      s.name -> (if (s.kind == "quantitative")
+        prepQuantitativeK(trainHist(s.name), totalOf(s.name), levels, q, halfMinFreq, config)
+      else
+        prepCategoricalK(trainHist(s.name), totalOf(s.name), levels, yLevelScores, halfMinFreq, config))
+    }.toMap
+
+    val rate0: Ordinal.ORate =
+      if (config.targetScale == "ridit" && config.levelValues.isEmpty) Ordinal.TargetMeanRidit(null, null)
+      else Ordinal.TargetMeanLevel(config.levelValues)
+
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val fitted = Await.result(
+      Future.traverse(specs.toVector) { spec =>
+        Future {
+          val p = prep(spec.name)
+          val devX = devHist.map(h => devKXaggOf(spec, p, h.getOrElse(spec.name, Array.empty), levels))
+          searchFeatureK(spec, p, devX.filter(_.labels.nonEmpty), rate0, config)
+        }
+      },
+      Duration.Inf
+    )
+    Model(target, config.minFreq, config.maxNMod, config.sortBy, levels, fitted)
+  }
+
+  /** Search-ready per-feature state (K-column analogue of BinaryCarver.Prep). */
+  final case class KPrep(
+      kind: String,
+      prebinEdges: Vector[Double],
+      prebinLeader: Vector[String],
+      valueToRaw: Map[String, String],
+      rawOrder: Vector[String],
+      xagg: Ordinal.KXagg,
+      hasNan: Boolean,
+      hasDefault: Boolean
+  )
+
+  private[carve] def prepQuantitativeK(
+      hist: Array[KHistRow], total: Long, levels: Vector[Double],
+      q: Int, halfMinFreq: Double, config: Config
+  ): KPrep = {
+    val levelIdx = levels.zipWithIndex.toMap
+    val nonNull = hist.filterNot(_.isNull)
+    val nanRows = hist.filter(_.isNull)
+    // value histogram (counts summed over levels) for the quantile finder
+    val byVal = mutable.TreeMap.empty[Double, Long]
+    nonNull.foreach(r => byVal(r.dv) = byVal.getOrElse(r.dv, 0L) + r.count)
+    val values = byVal.keys.toArray
+    val counts = byVal.values.toArray
+    val edges = Prebin.findQuantiles(values, counts, total, q)
+    val nPrebins = edges.length + 1
+    val mat = Array.fill(nPrebins, levels.length)(0.0)
+    val cnt = new Array[Double](nPrebins)
+    val syLevel = new Array[Double](nPrebins) // sum of raw levels (merge rate source)
+    nonNull.foreach { r =>
+      val idx = BinaryCarver.searchsortedLeft(edges, r.dv)
+      mat(idx)(levelIdx(r.level)) += r.count
+      cnt(idx) += r.count
+      syLevel(idx) += r.count * r.level
+    }
+    val labels = Vector.tabulate(nPrebins)(BinaryCarver.quantLabel)
+    val hasRare = cnt.exists(c => Stats.isSignificantlyBelow(c, total, halfMinFreq, config.minFreqAlpha))
+    val groups =
+      if (hasRare) Prebin.findCommonModalities(labels, cnt, syLevel, total, halfMinFreq, config.minFreqAlpha)
+      else labels.map(Vector(_))
+    val leaderOf = groups.flatMap(g => g.map(_ -> g.head)).toMap
+    val order = groups.map(_.head)
+    val pos = labels.zipWithIndex.toMap
+    val gMat = groups.map { g =>
+      val row = new Array[Double](levels.length)
+      g.foreach { l => val p = pos(l); var j = 0; while (j < row.length) { row(j) += mat(p)(j); j += 1 } }
+      row
+    }.toArray
+    val hasNan = nanRows.nonEmpty
+    val nanRow = {
+      val row = new Array[Double](levels.length)
+      nanRows.foreach(r => row(levelIdx(r.level)) += r.count)
+      row
+    }
+    val xLabels = if (hasNan) order :+ NanLabel else order
+    val m = if (hasNan) gMat :+ nanRow else gMat
+    KPrep("quantitative", edges, labels.map(leaderOf), Map.empty, order,
+      Ordinal.KXagg(xLabels, levels, m), hasNan, hasDefault = false)
+  }
+
+  private[carve] def prepCategoricalK(
+      hist: Array[KHistRow], total: Long, levels: Vector[Double],
+      yLevelScores: Map[Double, Double], halfMinFreq: Double, config: Config
+  ): KPrep = {
+    val levelIdx = levels.zipWithIndex.toMap
+    val nonNull = hist.filterNot(_.isNull)
+    val nanRows = hist.filter(_.isNull)
+    val valCounts = mutable.Map.empty[String, Double]
+    nonNull.foreach(r => valCounts(r.sv) = valCounts.getOrElse(r.sv, 0.0) + r.count)
+    val rare = Prebin.rareCategoricals(valCounts.toMap, total, halfMinFreq, config.minFreqAlpha, NanLabel).toSet
+    val hasDefault = rare.nonEmpty
+    val valueToRaw = nonNull.map(r => r.sv -> (if (rare(r.sv)) OtherLabel else r.sv)).toMap
+    // per-raw-label K-row + scored-y sums (ridit/level scale) for the pre-sort
+    val mats = mutable.LinkedHashMap.empty[String, Array[Double]]
+    val stats = mutable.LinkedHashMap.empty[String, (Double, Double)]
+    nonNull.foreach { r =>
+      val lbl = valueToRaw(r.sv)
+      val row = mats.getOrElseUpdate(lbl, new Array[Double](levels.length))
+      row(levelIdx(r.level)) += r.count
+      val (c, s) = stats.getOrElse(lbl, (0.0, 0.0))
+      stats(lbl) = (c + r.count, s + r.count * yLevelScores(r.level))
+    }
+    val order = Prebin.targetRateOrder(stats.toMap)
+    val hasNan = nanRows.nonEmpty
+    val nanRow = {
+      val row = new Array[Double](levels.length)
+      nanRows.foreach(r => row(levelIdx(r.level)) += r.count)
+      row
+    }
+    val xLabels = if (hasNan) order :+ NanLabel else order
+    val m = (order.map(mats(_)) ++ (if (hasNan) Vector(nanRow) else Vector.empty)).toArray
+    KPrep("categorical", Vector.empty, Vector.empty, valueToRaw, order,
+      Ordinal.KXagg(xLabels, levels, m), hasNan, hasDefault)
+  }
+
+  /** Dev histogram → KXagg in the train feature's label space. */
+  private[carve] def devKXaggOf(
+      spec: FeatureSpec, p: KPrep, hist: Array[KHistRow], levels: Vector[Double]
+  ): Ordinal.KXagg = {
+    val levelIdx = levels.zipWithIndex.toMap
+    val acc = mutable.LinkedHashMap.empty[String, Array[Double]]
+    p.xagg.labels.foreach(l => acc(l) = new Array[Double](levels.length))
+    hist.foreach { r =>
+      val label =
+        if (r.isNull) NanLabel
+        else if (spec.kind == "quantitative") p.prebinLeader(BinaryCarver.searchsortedLeft(p.prebinEdges, r.dv))
+        else p.valueToRaw.getOrElse(r.sv, if (p.hasDefault) OtherLabel else null)
+      if (label != null) {
+        levelIdx.get(r.level).foreach { j =>
+          acc.getOrElseUpdate(label, new Array[Double](levels.length))(j) += r.count
+        }
+      }
+    }
+    Ordinal.KXagg(acc.keysIterator.toVector, levels, acc.valuesIterator.toArray)
+  }
+
+  private[carve] def searchFeatureK(
+      spec: FeatureSpec, p: KPrep, devX: Option[Ordinal.KXagg],
+      rate0: Ordinal.ORate, config: Config
+  ): OFitted = {
+    val best = Ordinal.bestCombination(
+      p.xagg, devX, rate0, config.maxNMod, Some(config.minFreq), config.minFreqAlpha,
+      config.sortBy, p.hasNan, NanLabel, dropna = true, config.topKInitial, config.escalate)
+
+    best match {
+      case None =>
+        OFitted(FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,
+          -1, -1, p.hasNan, p.hasDefault, Vector.empty, Double.NaN, Double.NaN,
+          Vector.empty, dropped = true, droppedReason = "no viable combination"),
+          Double.NaN, Double.NaN, Double.NaN)
+      case Some(b) =>
+        val labelToBin: Map[String, Int] =
+          b.combination.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
+        val nanBin = labelToBin.getOrElse(NanLabel, -1)
+        val f =
+          if (p.kind == "quantitative") {
+            val prebinToBin = p.prebinLeader.map(l => labelToBin.getOrElse(l, -1))
+            val prep = BinaryCarver.Prep(p.kind, p.prebinEdges, p.prebinLeader, p.valueToRaw,
+              p.rawOrder, Search.Xagg(Vector.empty, Array.empty, Array.empty), p.hasNan, p.hasDefault)
+            val binLabels = BinaryCarver.quantBinLabels(b.combination, prep, nanBin)
+            FittedFeature(spec.name, p.kind, p.prebinEdges, prebinToBin, Map.empty,
+              nanBin, -1, p.hasNan, p.hasDefault, binLabels, Double.NaN, Double.NaN,
+              b.rates, dropped = false, droppedReason = "")
+          } else {
+            val valueToBin = p.valueToRaw.collect {
+              case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
+            }
+            val otherBin = labelToBin.getOrElse(OtherLabel, -1)
+            val binLabels = b.combination.map(g => g.mkString(", "))
+            FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
+              nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, Double.NaN, Double.NaN,
+              b.rates, dropped = false, droppedReason = "")
+          }
+        OFitted(f, b.metrics.tauB, b.metrics.tauC, b.metrics.somersd)
+    }
+  }
+}

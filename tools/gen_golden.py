@@ -210,3 +210,132 @@ out2 = {"kruskal_dp": kw_cases}
 with open(f"{OUT}/parity_kruskal.json", "w") as f:
     json.dump(out2, f)
 print("wrote parity_kruskal.json", len(kw_cases))
+
+# ---- ordinal: associations, DP, ridits (round 2) ---------------------------
+import pandas as pd
+
+ridits_mod = load("AutoCarver.stats.ridits", f"{REF}/stats/ridits.py")
+sys.modules["AutoCarver.stats.ridits"] = ridits_mod
+
+src_ord = open(f"{REF}/combinations/ordinal/ordinal_combination_evaluators.py").read()
+start_ord = src_ord.index("def _concordant_minus_discordant")
+ns_ord = {
+    "np": np, "math": __import__("math"),
+    "top_k_partitions": dp.top_k_partitions,
+    "splits_to_combination": dp.splits_to_combination,
+    "compact_empty_modalities": dp.compact_empty_modalities,
+    "combination_formatter": combos.combination_formatter,
+    "sort_key": dp.sort_key,
+}
+exec(compile(src_ord[start_ord:], "ordinal_eval", "exec"), ns_ord)
+ordinal_assoc = ns_ord["_ordinal_associations"]
+ordinal_dp = ns_ord["_top_k_partitions_ordinal_dp"]
+
+out3 = {}
+rng3 = np.random.default_rng(23)
+
+oa_cases = []
+for _ in range(20):
+    r = int(rng3.integers(2, 9))
+    c = int(rng3.integers(3, 7))
+    t = rng3.integers(0, 60, size=(r, c)).astype(float)
+    if rng3.random() < 0.3:
+        t[int(rng3.integers(0, r))] = 0.0  # empty modality row
+    got = ordinal_assoc(t)
+    oa_cases.append({"table": t.tolist(),
+                     "tau_b": got["tau_b"], "tau_c": got["tau_c"], "somersd": got["somersd"]})
+out3["ordinal_assoc"] = oa_cases
+
+odp_cases = []
+for trial in range(6):
+    n_mod = int(rng3.integers(3, 11))
+    c = int(rng3.integers(3, 6))
+    M = rng3.integers(0, 120, size=(n_mod, c)).astype(float)
+    if trial % 2 == 0 and n_mod > 3:
+        M[int(rng3.integers(0, n_mod))] = 0.0
+    labels = [f"m{i:04d}" for i in range(n_mod)]
+    for sort_by in ("tau_c", "tau_b", "somersd"):
+        res = ordinal_dp(M, M.sum(axis=1), M.sum(axis=0), max_n_mod=5,
+                         raw_index=labels, sort_by=sort_by, top_k=40)
+        odp_cases.append({
+            "M": M.tolist(), "labels": labels, "max_n_mod": 5, "sort_by": sort_by, "top_k": 40,
+            "expected": [{"combination": r["combination"], "tau_b": r["tau_b"],
+                          "tau_c": r["tau_c"], "somersd": r["somersd"]} for r in res],
+        })
+out3["ordinal_dp"] = odp_cases
+
+ridit_cases = []
+for _ in range(12):
+    n_levels = int(rng3.integers(3, 8))
+    ref_levels = sorted(rng3.choice(np.arange(0, 20), size=n_levels, replace=False).tolist())
+    counts = rng3.integers(1, 100, size=n_levels).astype(float)
+    query = sorted(set(ref_levels + rng3.integers(0, 22, size=3).tolist()))
+    got = ridits_mod.ridit_scores_for_levels(query, pd.Series(counts, index=ref_levels))
+    ridit_cases.append({"ref_levels": [float(x) for x in ref_levels], "ref_counts": counts.tolist(),
+                        "query": [float(x) for x in query], "expected": got.tolist()})
+out3["ridits"] = ridit_cases
+
+with open(f"{OUT}/parity_ordinal.json", "w") as f:
+    json.dump(out3, f)
+print("wrote parity_ordinal.json",
+      {k: len(v) for k, v in out3.items()})
+
+# ---- multiclass: K-col chi2 DP + CA axis (round 2) --------------------------
+ca = load("AutoCarver.stats.correspondence_analysis", f"{REF}/stats/correspondence_analysis.py")
+
+src_mc = open(f"{REF}/combinations/multiclass/multiclass_combination_evaluators.py").read()
+start_mc = src_mc.index("def _top_k_partitions_chi2_dp_multiclass")
+ns_mc = {
+    "np": np,
+    "top_k_partitions": dp.top_k_partitions,
+    "splits_to_combination": dp.splits_to_combination,
+    "compact_empty_modalities": dp.compact_empty_modalities,
+    "combination_formatter": combos.combination_formatter,
+    "sort_key": dp.sort_key,
+    "_cramerv_tschuprowt": chi2.cramerv_tschuprowt,
+    "_chi2_pearson": chi2.pearson_chi2,
+}
+exec(compile(src_mc[start_mc:], "mc_dp", "exec"), ns_mc)
+mc_dp = ns_mc["_top_k_partitions_chi2_dp_multiclass"]
+
+out4 = {}
+rng4 = np.random.default_rng(31)
+mc_dp_cases = []
+for trial in range(6):
+    n_mod = int(rng4.integers(3, 11))
+    k = int(rng4.integers(2, 6))
+    M = rng4.integers(0, 150, size=(n_mod, k)).astype(float)
+    if trial % 2 == 1 and n_mod > 3:
+        M[int(rng4.integers(0, n_mod))] = 0.0
+    labels = [f"m{i:04d}" for i in range(n_mod)]
+    for sort_by in ("tschuprowt", "cramerv"):
+        res = mc_dp(M, M.sum(axis=1), M.sum(axis=0), max_n_mod=5,
+                    raw_index=labels, sort_by=sort_by, top_k=40)
+        mc_dp_cases.append({
+            "M": M.tolist(), "labels": labels, "max_n_mod": 5, "sort_by": sort_by, "top_k": 40,
+            "expected": [{"combination": r["combination"], "cramerv": r["cramerv"],
+                          "tschuprowt": r["tschuprowt"]} for r in res],
+        })
+out4["mc_dp"] = mc_dp_cases
+
+ca_cases = []
+for trial in range(16):
+    r = int(rng4.integers(1, 9))
+    k = int(rng4.integers(1, 6))
+    t = rng4.integers(0, 80, size=(r, k)).astype(float)
+    if trial % 4 == 0 and r > 2:
+        t[int(rng4.integers(0, r))] = 0.0
+    xtab = pd.DataFrame(t, index=[f"v{i}" for i in range(r)])
+    axis = ca.fit_ca_axis(xtab)
+    scores = ca.ca_row_scores(xtab, axis)
+    ca_cases.append({
+        "table": t.tolist(),
+        "col_mass": axis.col_mass.tolist(), "v1": axis.v1.tolist(),
+        "degenerate": bool(axis.degenerate),
+        "row_scores": scores.tolist(),
+    })
+out4["ca"] = ca_cases
+
+with open(f"{OUT}/parity_multiclass.json", "w") as f:
+    json.dump(out4, f)
+print("wrote parity_multiclass.json", {k: len(v) for k, v in out4.items()})
