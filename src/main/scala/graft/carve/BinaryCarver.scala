@@ -135,7 +135,15 @@ object BinaryCarver {
       // reference carver default: stop at the initial top-K (the standalone
       // evaluator defaults to exhaustive ×4 escalation instead)
       escalate: Boolean = false,
-      maxHistogramRows: Long = 5000000L
+      maxHistogramRows: Long = 5000000L,
+      // viability rate strategy (R1/R2/R3): target_mean | odds_ratio | woe
+      rateStrategy: String = "target_mean",
+      // cross-validation folds (C4): deterministic pmod(hash(features,y), cv)
+      // assignment; each held-out fold is an extra robustness view
+      cv: Int = 0,
+      // rescue-rare rerun (C13): when nothing is viable at min_freq and a
+      // validation view exists, rerun with the min_freq veto waived
+      rescue: Boolean = false
   )
 
   def fit(
@@ -147,7 +155,19 @@ object BinaryCarver {
   ): Model = {
     val trainHist = histogram(train, target, specs)
     val devHist = dev.map(d => histogram(d, target, specs))
-    fitFromHistograms(trainHist, devHist, target, specs, config)
+    val foldHists = if (config.cv > 1) histogramFolds(train, target, specs, config.cv) else Nil
+    fitFromHistograms(trainHist, devHist, target, specs, config, foldHists)
+  }
+
+  /** CV fold histograms in ONE extra cluster pass: a deterministic fold key
+    * `pmod(xxhash64(features..., y), cv)` is one more groupBy column —
+    * rows with identical content share a fold, and the assignment is
+    * independent of partitioning/parallelism (C4).
+    */
+  def histogramFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int): Seq[Map[String, Array[HistRow]]] = {
+    val foldKey = pmod(xxhash64(specs.map(s => col(s.name)) :+ col(target): _*), lit(cv))
+    val withFold = df.withColumn("__fold", foldKey)
+    (0 until cv).map(f => histogram(withFold.filter(col("__fold") === f), target, specs))
   }
 
   /** Driver-only fit from collected histograms — the resumable second
@@ -160,7 +180,8 @@ object BinaryCarver {
       devHist: Option[Map[String, Array[HistRow]]],
       target: String,
       specs: Seq[FeatureSpec],
-      config: Config = Config()
+      config: Config = Config(),
+      foldHists: Seq[Map[String, Array[HistRow]]] = Nil
   ): Model = {
     require(specs.nonEmpty, "no features to carve")
     val halfMinFreq = config.minFreq / 2.0
@@ -192,7 +213,9 @@ object BinaryCarver {
         Future {
           val p = prep(spec.name)
           val devXagg = devHist.map(h => devXaggOf(spec, p, h.getOrElse(spec.name, Array.empty)))
-          searchFeature(spec, p, devXagg.filter(_.labels.nonEmpty), config)
+          val foldXaggs = foldHists.map(h => devXaggOf(spec, p, h.getOrElse(spec.name, Array.empty)))
+            .filter(_.labels.nonEmpty)
+          searchFeature(spec, p, devXagg.filter(_.labels.nonEmpty), config, foldXaggs)
         }
       },
       Duration.Inf
@@ -293,6 +316,7 @@ object BinaryCarver {
   }
 
   private[carve] def prepCategorical(hist: Array[HistRow], total: Long, halfMinFreq: Double, config: Config): Prep = {
+    Prebin.frequencyGate(hist.map(_.count.toDouble), total, halfMinFreq, config.rescue, "categorical")
     val nonNull = hist.filterNot(_.isNull)
     val nanCount = hist.filter(_.isNull).map(_.count).sum
     val nanSumY = hist.filter(_.isNull).map(_.sumY).sum
@@ -340,11 +364,18 @@ object BinaryCarver {
     )
   }
 
-  private[carve] def searchFeature(spec: FeatureSpec, p: Prep, devXagg: Option[Search.Xagg], config: Config): FittedFeature = {
-    val best = Search.bestCombination(
-      p.xagg, devXagg, config.maxNMod, Some(config.minFreq), config.minFreqAlpha,
+  private[carve] def searchFeature(spec: FeatureSpec, p: Prep, devXagg: Option[Search.Xagg], config: Config,
+      folds: Seq[Search.Xagg] = Nil): FittedFeature = {
+    def run(minFreq: Option[Double]) = Search.bestCombination(
+      p.xagg, devXagg, config.maxNMod, minFreq, config.minFreqAlpha,
       config.sortBy, p.hasNan, NanLabel, dropna = true,
-      config.topKInitial, config.escalate)
+      config.topKInitial, config.escalate, folds = folds, rateStrategy = config.rateStrategy)
+    val normal = run(Some(config.minFreq))
+    // rescue-rare rerun (`combination_evaluator.py:507-516`): min_freq waived,
+    // distinct-rates + ordering still enforced on every validation view
+    val best =
+      if (normal.isEmpty && config.rescue && (devXagg.nonEmpty || folds.nonEmpty)) run(None)
+      else normal
 
     best match {
       case None =>

@@ -124,18 +124,16 @@ object Multiclass {
 
   private def viable(
       trainG: KXagg, devG: Option[KXagg], rate: Ordinal.ORate,
-      minFreq: Option[Double], alpha: Double
+      minFreq: Option[Double], alpha: Double, foldsG: Seq[KXagg] = Nil
   ): Boolean = {
     val trainRates = Ordinal.orateRows(trainG, rate)
     if (!Search.testMinFreq(trainRates, minFreq, alpha)) return false
     if (!Search.testDistinctRates(trainRates)) return false
-    devG match {
-      case None => true
-      case Some(dev) =>
-        val devRates = Ordinal.orateRows(dev, rate)
-        Search.testMinFreq(devRates, minFreq, alpha) &&
-          Search.testDistinctRates(devRates) &&
-          Search.testOrdering(trainRates.map(_.rate), devRates.map(_.rate))
+    (devG.toSeq ++ foldsG).forall { view =>
+      val devRates = Ordinal.orateRows(view, rate)
+      Search.testMinFreq(devRates, minFreq, alpha) &&
+        Search.testDistinctRates(devRates) &&
+        Search.testOrdering(trainRates.map(_.rate), devRates.map(_.rate))
     }
   }
 
@@ -154,11 +152,13 @@ object Multiclass {
       nanLabel: String = BinaryCarver.NanLabel,
       dropna: Boolean = true,
       topKInitial: Int = 2000,
-      escalate: Boolean = true
+      escalate: Boolean = true,
+      folds: Seq[KXagg] = Nil
   ): Option[MBest] = {
     val rawLabels0 = if (hasNan && dropna) train.labels.filterNot(_ == nanLabel) else train.labels
     val trainNoNan = if (hasNan) train.without(nanLabel) else train
     val devNoNan = if (hasNan) dev.map(_.without(nanLabel)) else dev
+    val foldsNoNan = if (hasNan) folds.map(_.without(nanLabel)) else folds
 
     // CA axis fixed from the nan-filtered raw train crosstab
     // (`multiclass_combination_evaluators.py:123`)
@@ -178,7 +178,8 @@ object Multiclass {
           var i = walked
           while (i < cands.length && found.isEmpty) {
             val c = cands(i)
-            if (viable(trainNoNan.grouped(c.indexToGroupby), devNoNan.map(_.grouped(c.indexToGroupby)), rate, minFreq, alpha))
+            if (viable(trainNoNan.grouped(c.indexToGroupby), devNoNan.map(_.grouped(c.indexToGroupby)),
+              rate, minFreq, alpha, foldsNoNan.map(_.grouped(c.indexToGroupby))))
               found = Some(c)
             i += 1
           }
@@ -191,13 +192,13 @@ object Multiclass {
         found
       }
 
-    val (mergedTrain, mergedDev, mergedLabels, baseBest) = nonNanWinner match {
+    val (mergedTrain, mergedDev, mergedFolds, mergedLabels, baseBest) = nonNanWinner match {
       case Some(c) =>
         val gTrain = train.grouped(c.indexToGroupby)
         val gDev = dev.map(_.grouped(c.indexToGroupby))
-        (gTrain, gDev, gTrain.labels.filterNot(_ == nanLabel),
+        (gTrain, gDev, folds.map(_.grouped(c.indexToGroupby)), gTrain.labels.filterNot(_ == nanLabel),
           Some(MBest(c.combination, c.cramerv, c.tschuprowt, Ordinal.orateRows(gTrain, rate), rate)))
-      case None => (train, dev, rawLabels0, None)
+      case None => (train, dev, folds, rawLabels0, None)
     }
 
     if (!(hasNan && dropna)) {
@@ -205,7 +206,7 @@ object Multiclass {
         val combo = Vector(rawLabels0, Vector(nanLabel))
         val idx = combo.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
         val g = train.grouped(idx)
-        if (viable(g, dev.map(_.grouped(idx)), rate, minFreq, alpha)) {
+        if (viable(g, dev.map(_.grouped(idx)), rate, minFreq, alpha, folds.map(_.grouped(idx)))) {
           val (cv, tt) = associationMeasure(g.m, train.nObs)
           return Some(MBest(combo, cv, tt, Ordinal.orateRows(g, rate), rate))
         }
@@ -233,7 +234,8 @@ object Multiclass {
       if (!historized.contains(variant)) {
         historized += variant
         val g = mergedTrain.grouped(idx)
-        if (viable(g, mergedDev.map(_.grouped(idx)), rate, minFreq, alpha)) nanWinner = Some((variant, idx, cv, tt))
+        if (viable(g, mergedDev.map(_.grouped(idx)), rate, minFreq, alpha,
+          mergedFolds.map(_.grouped(idx)))) nanWinner = Some((variant, idx, cv, tt))
       }
       i += 1
     }

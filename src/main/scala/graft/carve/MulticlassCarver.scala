@@ -27,7 +27,9 @@ object MulticlassCarver {
       minFreqAlpha: Double = 0.05,
       topKInitial: Int = 2000,
       escalate: Boolean = false,
-      maxHistogramRows: Long = 5000000L
+      maxHistogramRows: Long = 5000000L,
+      cv: Int = 0,
+      rescue: Boolean = false
   )
 
   final case class MFitted(feature: FittedFeature, cramerv: Double, tschuprowt: Double)
@@ -102,7 +104,17 @@ object MulticlassCarver {
       val remap = devClasses.zipWithIndex.map { case (c, i) => i.toDouble -> classes.indexOf(c).toDouble }.toMap
       h.view.mapValues(_.map(r => r.copy(level = remap(r.level)))).toMap
     }
-    fitFromHistograms(trainHist, devHist, target, specs, classes, config)
+    val foldHists =
+      if (config.cv > 1) {
+        val foldKey = pmod(xxhash64(specs.map(s => col(s.name)) :+ col(target): _*), lit(config.cv))
+        val withFold = train.withColumn("__fold", foldKey)
+        (0 until config.cv).map { f =>
+          val (h, foldClasses) = histogramM(withFold.filter(col("__fold") === f), target, specs)
+          val remap = foldClasses.zipWithIndex.map { case (c, i) => i.toDouble -> classes.indexOf(c).toDouble }.toMap
+          h.view.mapValues(_.map(r => r.copy(level = remap(r.level)))).toMap: Map[String, Array[KHistRow]]
+        }
+      } else Nil
+    fitFromHistograms(trainHist, devHist, target, specs, classes, config, foldHists)
   }
 
   def fitFromHistograms(
@@ -111,7 +123,8 @@ object MulticlassCarver {
       target: String,
       specs: Seq[FeatureSpec],
       classes: Vector[String],
-      config: Config = Config()
+      config: Config = Config(),
+      foldHists: Seq[Map[String, Array[KHistRow]]] = Nil
   ): Model = {
     require(specs.nonEmpty, "no features to carve")
     val histRows = trainHist.values.map(_.length.toLong).sum
@@ -138,7 +151,9 @@ object MulticlassCarver {
         Future {
           val p = prep(spec.name)
           val devX = devHist.map(h => OrdinalCarver.devKXaggOf(spec, p, h.getOrElse(spec.name, Array.empty), levels))
-          searchFeatureM(spec, p, devX.filter(_.labels.nonEmpty), config)
+          val foldXs = foldHists.map(h => OrdinalCarver.devKXaggOf(spec, p, h.getOrElse(spec.name, Array.empty), levels))
+            .filter(_.labels.nonEmpty)
+          searchFeatureM(spec, p, devX.filter(_.labels.nonEmpty), config, foldXs)
         }
       },
       Duration.Inf
@@ -209,6 +224,12 @@ object MulticlassCarver {
     val levelIdx = levels.zipWithIndex.toMap
     val nonNull = hist.filterNot(_.isNull)
     val nanRows = hist.filter(_.isNull)
+    locally {
+      val perValue = mutable.Map.empty[String, Double]
+      hist.foreach(r => perValue(if (r.isNull) null else r.sv) =
+        perValue.getOrElse(if (r.isNull) null else r.sv, 0.0) + r.count)
+      Prebin.frequencyGate(perValue.values, total, halfMinFreq, config.rescue, "categorical")
+    }
     val valCounts = mutable.Map.empty[String, Double]
     nonNull.foreach(r => valCounts(r.sv) = valCounts.getOrElse(r.sv, 0.0) + r.count)
     val rare = Prebin.rareCategoricals(valCounts.toMap, total, halfMinFreq, config.minFreqAlpha, NanLabel).toSet
@@ -236,10 +257,15 @@ object MulticlassCarver {
       Ordinal.KXagg(xLabels, levels, m), hasNan, hasDefault)
   }
 
-  private[carve] def searchFeatureM(spec: FeatureSpec, p: KPrep, devX: Option[Ordinal.KXagg], config: Config): MFitted = {
-    val best = Multiclass.bestCombination(
-      p.xagg, devX, config.maxNMod, Some(config.minFreq), config.minFreqAlpha,
-      config.sortBy, p.hasNan, NanLabel, dropna = true, config.topKInitial, config.escalate)
+  private[carve] def searchFeatureM(spec: FeatureSpec, p: KPrep, devX: Option[Ordinal.KXagg], config: Config,
+      folds: Seq[Ordinal.KXagg] = Nil): MFitted = {
+    def run(minFreq: Option[Double]) = Multiclass.bestCombination(
+      p.xagg, devX, config.maxNMod, minFreq, config.minFreqAlpha,
+      config.sortBy, p.hasNan, NanLabel, dropna = true, config.topKInitial, config.escalate, folds)
+    val normal = run(Some(config.minFreq))
+    val best =
+      if (normal.isEmpty && config.rescue && (devX.nonEmpty || folds.nonEmpty)) run(None)
+      else normal
 
     best match {
       case None =>

@@ -383,23 +383,22 @@ object Ordinal {
     }.toVector
   }
 
-  private def viable(
+  private[carve] def viable(
       trainG: KXagg,
       devG: Option[KXagg],
       rate: ORate,
       minFreq: Option[Double],
-      alpha: Double
+      alpha: Double,
+      foldsG: Seq[KXagg] = Nil
   ): Boolean = {
     val trainRates = orateRows(trainG, rate)
     if (!Search.testMinFreq(trainRates, minFreq, alpha)) return false
     if (!Search.testDistinctRates(trainRates)) return false
-    devG match {
-      case None => true
-      case Some(dev) =>
-        val devRates = orateRows(dev, rate)
-        Search.testMinFreq(devRates, minFreq, alpha) &&
-          Search.testDistinctRates(devRates) &&
-          Search.testOrdering(trainRates.map(_.rate), devRates.map(_.rate))
+    (devG.toSeq ++ foldsG).forall { view =>
+      val devRates = orateRows(view, rate)
+      Search.testMinFreq(devRates, minFreq, alpha) &&
+        Search.testDistinctRates(devRates) &&
+        Search.testOrdering(trainRates.map(_.rate), devRates.map(_.rate))
     }
   }
 
@@ -419,11 +418,13 @@ object Ordinal {
       nanLabel: String = BinaryCarver.NanLabel,
       dropna: Boolean = true,
       topKInitial: Int = 2000,
-      escalate: Boolean = true
+      escalate: Boolean = true,
+      folds: Seq[KXagg] = Nil
   ): Option[OBest] = {
     val rawLabels0 = if (hasNan && dropna) train.labels.filterNot(_ == nanLabel) else train.labels
     val trainNoNan = if (hasNan) train.without(nanLabel) else train
     val devNoNan = if (hasNan) dev.map(_.without(nanLabel)) else dev
+    val foldsNoNan = if (hasNan) folds.map(_.without(nanLabel)) else folds
 
     // ridit reference fixed from the nan-filtered raw train crosstab
     // (`ordinal_combination_evaluators.py:127`)
@@ -444,7 +445,8 @@ object Ordinal {
           var i = walked
           while (i < cands.length && found.isEmpty) {
             val c = cands(i)
-            if (viable(trainNoNan.grouped(c.indexToGroupby), devNoNan.map(_.grouped(c.indexToGroupby)), rate, minFreq, alpha))
+            if (viable(trainNoNan.grouped(c.indexToGroupby), devNoNan.map(_.grouped(c.indexToGroupby)),
+              rate, minFreq, alpha, foldsNoNan.map(_.grouped(c.indexToGroupby))))
               found = Some(c)
             i += 1
           }
@@ -458,14 +460,14 @@ object Ordinal {
       }
 
     // ---- apply phase-1 winner ---------------------------------------------
-    val (mergedTrain, mergedDev, mergedLabels, baseBest) = nonNanWinner match {
+    val (mergedTrain, mergedDev, mergedFolds, mergedLabels, baseBest) = nonNanWinner match {
       case Some(c) =>
         val gTrain = train.grouped(c.indexToGroupby)
         val gDev = dev.map(_.grouped(c.indexToGroupby))
         val labels = gTrain.labels.filterNot(_ == nanLabel)
         val best = OBest(c.combination, c.metrics, orateRows(gTrain, rate), rate)
-        (gTrain, gDev, labels, Some(best))
-      case None => (train, dev, rawLabels0, None)
+        (gTrain, gDev, folds.map(_.grouped(c.indexToGroupby)), labels, Some(best))
+      case None => (train, dev, folds, rawLabels0, None)
     }
 
     if (!(hasNan && dropna)) {
@@ -474,7 +476,7 @@ object Ordinal {
         val combo = Vector(rawLabels0, Vector(nanLabel))
         val idx = combo.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
         val g = train.grouped(idx)
-        if (viable(g, dev.map(_.grouped(idx)), rate, minFreq, alpha))
+        if (viable(g, dev.map(_.grouped(idx)), rate, minFreq, alpha, folds.map(_.grouped(idx))))
           return Some(OBest(combo, ordinalAssociations(g.m), orateRows(g, rate), rate))
         return None
       }
@@ -499,7 +501,8 @@ object Ordinal {
       if (!historized.contains(variant)) {
         historized += variant
         val g = mergedTrain.grouped(idx)
-        if (viable(g, mergedDev.map(_.grouped(idx)), rate, minFreq, alpha)) nanWinner = Some((variant, idx, m))
+        if (viable(g, mergedDev.map(_.grouped(idx)), rate, minFreq, alpha,
+          mergedFolds.map(_.grouped(idx)))) nanWinner = Some((variant, idx, m))
       }
       i += 1
     }

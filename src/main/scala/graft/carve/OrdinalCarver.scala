@@ -28,7 +28,9 @@ object OrdinalCarver {
       minFreqAlpha: Double = 0.05,
       topKInitial: Int = 2000,
       escalate: Boolean = false,
-      maxHistogramRows: Long = 5000000L
+      maxHistogramRows: Long = 5000000L,
+      cv: Int = 0,
+      rescue: Boolean = false
   )
 
   final case class OFitted(feature: FittedFeature, tauB: Double, tauC: Double, somersd: Double)
@@ -96,7 +98,14 @@ object OrdinalCarver {
   ): Model = {
     val trainHist = histogramK(train, target, specs)
     val devHist = dev.map(d => histogramK(d, target, specs))
-    fitFromHistograms(trainHist, devHist, target, specs, config)
+    val foldHists =
+      if (config.cv > 1) {
+        import org.apache.spark.sql.functions.{pmod, xxhash64, lit => flit}
+        val foldKey = pmod(xxhash64(specs.map(s => col(s.name)) :+ col(target): _*), flit(config.cv))
+        val withFold = train.withColumn("__fold", foldKey)
+        (0 until config.cv).map(f => histogramK(withFold.filter(col("__fold") === f), target, specs))
+      } else Nil
+    fitFromHistograms(trainHist, devHist, target, specs, config, foldHists)
   }
 
   def fitFromHistograms(
@@ -104,7 +113,8 @@ object OrdinalCarver {
       devHist: Option[Map[String, Array[KHistRow]]],
       target: String,
       specs: Seq[FeatureSpec],
-      config: Config = Config()
+      config: Config = Config(),
+      foldHists: Seq[Map[String, Array[KHistRow]]] = Nil
   ): Model = {
     require(specs.nonEmpty, "no features to carve")
     val histRows = trainHist.values.map(_.length.toLong).sum
@@ -155,7 +165,9 @@ object OrdinalCarver {
         Future {
           val p = prep(spec.name)
           val devX = devHist.map(h => devKXaggOf(spec, p, h.getOrElse(spec.name, Array.empty), levels))
-          searchFeatureK(spec, p, devX.filter(_.labels.nonEmpty), rate0, config)
+          val foldXs = foldHists.map(h => devKXaggOf(spec, p, h.getOrElse(spec.name, Array.empty), levels))
+            .filter(_.labels.nonEmpty)
+          searchFeatureK(spec, p, devX.filter(_.labels.nonEmpty), rate0, config, foldXs)
         }
       },
       Duration.Inf
@@ -230,6 +242,13 @@ object OrdinalCarver {
     val levelIdx = levels.zipWithIndex.toMap
     val nonNull = hist.filterNot(_.isNull)
     val nanRows = hist.filter(_.isNull)
+    // frequency sanity gate over raw values (NaN bucket included)
+    locally {
+      val perValue = mutable.Map.empty[String, Double]
+      hist.foreach(r => perValue(if (r.isNull) null else r.sv) =
+        perValue.getOrElse(if (r.isNull) null else r.sv, 0.0) + r.count)
+      Prebin.frequencyGate(perValue.values, total, halfMinFreq, config.rescue, "categorical")
+    }
     val valCounts = mutable.Map.empty[String, Double]
     nonNull.foreach(r => valCounts(r.sv) = valCounts.getOrElse(r.sv, 0.0) + r.count)
     val rare = Prebin.rareCategoricals(valCounts.toMap, total, halfMinFreq, config.minFreqAlpha, NanLabel).toSet
@@ -281,11 +300,15 @@ object OrdinalCarver {
 
   private[carve] def searchFeatureK(
       spec: FeatureSpec, p: KPrep, devX: Option[Ordinal.KXagg],
-      rate0: Ordinal.ORate, config: Config
+      rate0: Ordinal.ORate, config: Config, folds: Seq[Ordinal.KXagg] = Nil
   ): OFitted = {
-    val best = Ordinal.bestCombination(
-      p.xagg, devX, rate0, config.maxNMod, Some(config.minFreq), config.minFreqAlpha,
-      config.sortBy, p.hasNan, NanLabel, dropna = true, config.topKInitial, config.escalate)
+    def run(minFreq: Option[Double]) = Ordinal.bestCombination(
+      p.xagg, devX, rate0, config.maxNMod, minFreq, config.minFreqAlpha,
+      config.sortBy, p.hasNan, NanLabel, dropna = true, config.topKInitial, config.escalate, folds)
+    val normal = run(Some(config.minFreq))
+    val best =
+      if (normal.isEmpty && config.rescue && (devX.nonEmpty || folds.nonEmpty)) run(None)
+      else normal
 
     best match {
       case None =>

@@ -161,6 +161,25 @@ object Prebin {
     false
   }
 
+  /** Frequency sanity gate (`nested_discretizer.py:check_frequencies`, P7):
+    * a feature whose mode is more frequent than `1 - minFreq` (NaN counts as
+    * a modality) or whose most frequent value is below `minFreq` cannot be
+    * discretized — raise, unless `rescue` keeps it for the carver's
+    * last-chance min_freq-waived search (C13).
+    */
+  def frequencyGate(perValueCounts: Iterable[Double], total: Long, minFreq: Double,
+      rescue: Boolean, featureName: String): Unit = {
+    if (perValueCounts.isEmpty || total == 0) return
+    val maxFreq = perValueCounts.max / total
+    val tooCommon = maxFreq > 1 - minFreq
+    val nonCommon = maxFreq < minFreq
+    if ((tooCommon || nonCommon) && !rescue)
+      throw new IllegalArgumentException(
+        f"[frequencyGate] feature $featureName%s: most frequent value has freq=$maxFreq%2.2f " +
+          f"outside [$minFreq%2.4f, ${1 - minFreq}%2.4f]. Decrease min_freq, drop the feature, " +
+          "or set rescue=true to keep it for the min_freq-waived search.")
+  }
+
   /** Categorical rare-modality grouping (`categorical_discretizer.py:82-132`):
     * values Wilson-significantly below minFreq (excluding the NaN label) go
     * to the default bucket. Returns (valuesToGroup, hasDefault).

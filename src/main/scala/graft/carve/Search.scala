@@ -49,16 +49,29 @@ object Search {
     }
   }
 
-  /** Per-group viability row: rate (TargetMean n1/(n0+n1)), frequency, count. */
+  /** Per-group viability row: rate, frequency, count. */
   final case class RateRow(label: String, rate: Double, frequency: Double, count: Double)
 
-  def targetMeanRates(xagg: Xagg): Vector[RateRow] = {
+  /** Config-selectable binary target-rate strategies
+    * (`combinations/binary/binary_target_rates.py:38-115`):
+    * target_mean = n1/(n0+n1); odds_ratio = r/(1-r); woe = ln(mean1/mean0).
+    */
+  def rates(xagg: Xagg, strategy: String): Vector[RateRow] = {
     val total = xagg.nObs
     xagg.labels.indices.map { i =>
       val c = xagg.count(i)
-      RateRow(xagg.labels(i), xagg.n1(i) / c, c / total, c)
+      val mean = xagg.n1(i) / c
+      val rate = strategy match {
+        case "target_mean" => mean
+        case "odds_ratio" => mean / (1.0 - mean)
+        case "woe" => math.log(mean / (xagg.n0(i) / c))
+        case other => throw new IllegalArgumentException(s"bad rate strategy $other")
+      }
+      RateRow(xagg.labels(i), rate, c / total, c)
     }.toVector
   }
+
+  def targetMeanRates(xagg: Xagg): Vector[RateRow] = rates(xagg, "target_mean")
 
   /** No modality Wilson-significantly below minFreq
     * (`testing.py:_test_minimum_frequency_per_modality`). */
@@ -89,27 +102,37 @@ object Search {
 
   final case class Viability(viable: Boolean, minFreqOk: Boolean, distinctOk: Boolean, orderingOk: Boolean)
 
-  /** Full train+dev viability for one candidate grouping. */
+  /** Full train+dev(+CV folds) viability for one candidate grouping. Each
+    * fold is an additional robustness view tested exactly like dev
+    * (`base_carver.py:607-628`, `combination_evaluator.py:569-601`) —
+    * viable only if train, dev AND every fold pass (short-circuits).
+    */
   def testViability(
       trainGrouped: Xagg,
       devGrouped: Option[Xagg],
       minFreq: Option[Double],
-      alpha: Double
+      alpha: Double,
+      folds: Seq[Xagg] = Nil,
+      strategy: String = "target_mean"
   ): Viability = {
-    val trainRates = targetMeanRates(trainGrouped)
+    val trainRates = rates(trainGrouped, strategy)
     val mfTrain = testMinFreq(trainRates, minFreq, alpha)
     val distinctTrain = testDistinctRates(trainRates)
     if (!(mfTrain && distinctTrain))
       return Viability(viable = false, mfTrain, distinctTrain, orderingOk = true)
-    devGrouped match {
-      case None => Viability(viable = true, mfTrain, distinctTrain, orderingOk = true)
-      case Some(dev) =>
-        val devRates = targetMeanRates(dev)
-        val mfDev = testMinFreq(devRates, minFreq, alpha)
-        val distinctDev = testDistinctRates(devRates)
-        val ordering = testOrdering(trainRates.map(_.rate), devRates.map(_.rate))
-        Viability(mfDev && distinctDev && ordering, mfTrain && mfDev, distinctTrain && distinctDev, ordering)
+    def vsView(view: Xagg): Viability = {
+      val devRates = rates(view, strategy)
+      val mfDev = testMinFreq(devRates, minFreq, alpha)
+      val distinctDev = testDistinctRates(devRates)
+      val ordering = testOrdering(trainRates.map(_.rate), devRates.map(_.rate))
+      Viability(mfDev && distinctDev && ordering, mfTrain && mfDev, distinctTrain && distinctDev, ordering)
     }
+    val views = devGrouped.toSeq ++ folds
+    if (views.isEmpty) return Viability(viable = true, mfTrain, distinctTrain, orderingOk = true)
+    var result = Viability(viable = true, mfTrain, distinctTrain, orderingOk = true)
+    val it = views.iterator
+    while (it.hasNext && result.viable) result = vsView(it.next())
+    result
   }
 
   /** Result of a feature search: the winning partition over the search
@@ -141,18 +164,22 @@ object Search {
       dropna: Boolean = true,
       topKInitial: Int = 2000,
       escalate: Boolean = true,
-      tol: Double = 1e-10
+      tol: Double = 1e-10,
+      folds: Seq[Xagg] = Nil,
+      rateStrategy: String = "target_mean"
   ): Option[Best] = {
     // ---- phase 1: non-nan consecutive partitions -------------------------
     val rawLabels0 = if (hasNan && dropna) train.labels.filterNot(_ == nanLabel) else train.labels
     val trainNoNan = if (hasNan) train.without(nanLabel) else train
     val devNoNan = if (hasNan) dev.map(_.without(nanLabel)) else dev
+    val foldsNoNan = if (hasNan) folds.map(_.without(nanLabel)) else folds
 
-    def walk(cands: Vector[Dp.Candidate], trainX: Xagg, devX: Option[Xagg], start: Int): (Option[Dp.Candidate], Int) = {
+    def walk(cands: Vector[Dp.Candidate], trainX: Xagg, devX: Option[Xagg], foldsX: Seq[Xagg], start: Int): (Option[Dp.Candidate], Int) = {
       var i = start
       while (i < cands.length) {
         val c = cands(i)
-        val v = testViability(trainX.grouped(c.indexToGroupby), devX.map(_.grouped(c.indexToGroupby)), minFreq, alpha)
+        val v = testViability(trainX.grouped(c.indexToGroupby), devX.map(_.grouped(c.indexToGroupby)),
+          minFreq, alpha, foldsX.map(_.grouped(c.indexToGroupby)), rateStrategy)
         if (v.viable) return (Some(cands(i)), i + 1)
         i += 1
       }
@@ -169,7 +196,7 @@ object Search {
         var done = false
         while (!done) {
           val cands = Dp.chi2TopKPartitions(aligned._1, aligned._2, maxNMod, rawLabels0, sortBy, topK, tol)
-          val (win, w) = walk(cands, trainNoNan, devNoNan, walked)
+          val (win, w) = walk(cands, trainNoNan, devNoNan, foldsNoNan, walked)
           walked = w
           if (win.isDefined) { found = win; done = true }
           else if (walked < topK) done = true // DP exhausted
@@ -182,14 +209,15 @@ object Search {
     // ---- apply phase-1 winner: regroup labels and xaggs ------------------
     // (reference `_apply_best_combination`: the nan phase then re-partitions
     // the already-merged bins)
-    val (mergedTrain, mergedDev, mergedLabels, baseBest) = nonNanWinner match {
+    val (mergedTrain, mergedDev, mergedFolds, mergedLabels, baseBest) = nonNanWinner match {
       case Some(c) =>
         val gTrain = train.grouped(c.indexToGroupby) // nan row intact (unmapped → singleton)
         val gDev = dev.map(_.grouped(c.indexToGroupby))
+        val gFolds = folds.map(_.grouped(c.indexToGroupby))
         val labels = gTrain.labels.filterNot(_ == nanLabel)
-        val best = Best(c.combination, c.cramerv, c.tschuprowt, targetMeanRates(gTrain))
-        (gTrain, gDev, labels, Some(best))
-      case None => (train, dev, rawLabels0, None)
+        val best = Best(c.combination, c.cramerv, c.tschuprowt, rates(gTrain, rateStrategy))
+        (gTrain, gDev, gFolds, labels, Some(best))
+      case None => (train, dev, folds, rawLabels0, None)
     }
 
     if (!(hasNan && dropna)) {
@@ -199,12 +227,13 @@ object Search {
         val combo = Vector(rawLabels0, Vector(nanLabel))
         val cand = Dp.Candidate(combo, Double.NaN, Double.NaN)
         val g = train.grouped(cand.indexToGroupby)
-        val v = testViability(g, dev.map(_.grouped(cand.indexToGroupby)), minFreq, alpha)
+        val v = testViability(g, dev.map(_.grouped(cand.indexToGroupby)), minFreq, alpha,
+          folds.map(_.grouped(cand.indexToGroupby)), rateStrategy)
         if (v.viable) {
           val aligned = alignCounts(train, train.labels)
           val (cv, tt) = Dp.chi2AssocForCombination(
             aligned._1, aligned._2, train.nObs, train.labels.zipWithIndex.toMap, combo, tol)
-          return Some(Best(combo, cv, tt, targetMeanRates(g)))
+          return Some(Best(combo, cv, tt, rates(g, rateStrategy)))
         }
         return None
       }
@@ -243,7 +272,8 @@ object Search {
           historized += variant
           val idx = variant.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
           val g = mergedTrain.grouped(idx)
-          val v = testViability(g, mergedDev.map(_.grouped(idx)), minFreq, alpha)
+          val v = testViability(g, mergedDev.map(_.grouped(idx)), minFreq, alpha,
+            mergedFolds.map(_.grouped(idx)), rateStrategy)
           if (v.viable) { nanWinner = Some((variant, cv, tt)); found = true }
         }
         i += 1
@@ -263,7 +293,7 @@ object Search {
         }
         val finalCombo = variant.map(g => g.flatMap(l => expand.getOrElse(l, Vector(l))))
         val idx = variant.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
-        Some(Best(finalCombo, cv, tt, targetMeanRates(mergedTrain.grouped(idx))))
+        Some(Best(finalCombo, cv, tt, rates(mergedTrain.grouped(idx), rateStrategy)))
       case None =>
         // reference semantics: the nan phase REPLACES the result; if no nan
         // placement is viable the feature has no combination (dropped),

@@ -20,13 +20,15 @@ object PagePipeline {
     * lag + backfill; host features come free in the scan projection.
     */
   def featureFrame(pages: DataFrame): DataFrame = {
-    val base = pages
-      // compute every text-derived scalar in the scan projection, then drop
-      // the heavy payload columns: the window exchanges must never carry the
-      // html/text bytes (at 100 TB the payload dominates shuffle volume)
-      .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
-      .withColumn("text_len", length(col("text")).cast("double"))
-      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
+    val base = graft.carve.DatetimeFeatures.withTimedeltas(
+      pages
+        // compute every text-derived scalar in the scan projection, then drop
+        // the heavy payload columns: the window exchanges must never carry the
+        // html/text bytes (at 100 TB the payload dominates shuffle volume)
+        .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+        .withColumn("text_len", length(col("text")).cast("double"))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double")),
+      Seq(graft.carve.DatetimeFeatures.DatetimeSpec("warc_ts", "2024-01-01", as = "warc_age_sec")))
       .drop("html", "text")
     val lagged = Temporal.lagLead(base, Seq("url"), Seq("warc_ts"), "text_len", lags = Seq(1), leads = Nil)
     Temporal
@@ -42,6 +44,7 @@ object PagePipeline {
     BinaryCarver.FeatureSpec("text_len", "quantitative"),
     BinaryCarver.FeatureSpec("text_len_lag1", "quantitative"),
     BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
+    BinaryCarver.FeatureSpec("warc_age_sec", "quantitative"), // datetime T3
     BinaryCarver.FeatureSpec("lang", "categorical"),
     BinaryCarver.FeatureSpec("host", "categorical")
   )
@@ -63,7 +66,8 @@ object PagePipeline {
   ): (BinaryCarver.Model, Vector[String]) = {
     val manifest = IcebergLite.currentManifest(table)
       .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
-    val cfgHash = IcebergLite.configHash(s"$config|$asOf|v1")
+    // version suffix invalidates checkpoints when the feature set changes
+    val cfgHash = IcebergLite.configHash(s"$config|$asOf|v2-warc-age")
     val computed = Vector.newBuilder[String]
 
     val histJson = IcebergLite.loadCheckpoint(table, "hist", manifest.snapshotId, cfgHash).getOrElse {

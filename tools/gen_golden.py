@@ -339,3 +339,34 @@ out4["ca"] = ca_cases
 with open(f"{OUT}/parity_multiclass.json", "w") as f:
     json.dump(out4, f)
 print("wrote parity_multiclass.json", {k: len(v) for k, v in out4.items()})
+
+# ---- golden end-to-end dataset + snapshots (round 2) -------------------------
+# Recreates tests/properties/test_golden_carving.py:16-44's dataset exactly
+# (numpy default_rng(0)) and dumps it as CSV for the Scala suite; the golden
+# snapshot JSONs are the reference's own pinned fit outputs (test DATA, not
+# code) copied verbatim with provenance.
+import shutil
+
+rng_ds = np.random.default_rng(0)
+n_rows = 3000
+Xg = {
+    "num_a": rng_ds.normal(size=n_rows),
+    "num_b": rng_ds.gamma(2.0, size=n_rows),
+    "cat_a": rng_ds.choice(list("abcdefgh"), size=n_rows),
+    "cat_b": rng_ds.choice(["x", "y", "z"], size=n_rows, p=[0.7, 0.2, 0.1]),
+}
+import pandas as _pd
+Xdf = _pd.DataFrame(Xg)
+# noise rng is a FRESH default_rng(0) per test run (same for every target)
+noise = np.random.default_rng(0).normal(scale=0.5, size=n_rows)
+signal = Xdf["num_a"] + 0.5 * Xdf["num_b"] + (Xdf["cat_a"] < "d") * 1.5 + noise
+y_binary = (signal > np.median(signal)).astype(int)
+y_continuous = signal
+y_ordinal = _pd.qcut(signal, 4, labels=[1, 2, 3, 4]).astype(int)
+y_multiclass = _pd.qcut(signal, 3, labels=["lo", "mid", "hi"]).astype(str)
+golden_df = Xdf.assign(y_binary=y_binary, y_continuous=y_continuous,
+                       y_ordinal=y_ordinal, y_multiclass=y_multiclass)
+golden_df.to_csv(f"{OUT}/golden_dataset.csv", index=False, float_format="%.17g")
+for name in ["BinaryCarver", "ContinuousCarver", "OrdinalCarver", "MulticlassCarver", "OneVsRestCarver"]:
+    shutil.copy(f"/root/reference/tests/properties/golden/{name}.json", f"{OUT}/golden_{name}.json")
+print("wrote golden_dataset.csv", golden_df.shape, "+ 5 golden snapshots")
