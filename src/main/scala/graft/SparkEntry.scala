@@ -266,6 +266,27 @@ object SparkEntry {
             .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble) })
         .toDF("feature", "kind", "status", "association")
     }),
+    "q_nested_rollup" -> ((s, dir) => {
+      // synthetic clean hierarchy over documents: fine = source_lang ⊂ source
+      import graft.carve.Nested
+      val d = Tables.documents(s, dir)
+        .withColumn("fine", concat_ws("_", col("source"), col("lang")))
+        .withColumn("y", docLabel)
+      val m = Nested.fit(d, Seq("fine", "source"), minFreq = 0.04, target = Some("y"))
+      import s.implicits._
+      m.rawToBucket.toSeq.sortBy(_._1).toDF("raw", "bucket")
+    }),
+    "q_select_kruskal" -> ((s, dir) => {
+      // selector F2 Kruskal measures with a hard oracle
+      val df = Tables.documents(s, dir).withColumn("y", docLabel)
+      val k = graft.select.Selector.kruskalByFeature(df, "y", Seq("n_chars", "doc_id"))
+      import s.implicits._
+      Seq("n_chars", "doc_id").map { n =>
+        val r = k(n)
+        (n, BigDecimal(r.h).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble,
+          BigDecimal(r.epsilonSq).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)
+      }.toDF("feature", "h", "epsilon_sq")
+    }),
     "q_select_pearson" -> ((s, dir) => {
       // selector ranking measures with a hard oracle: |pearson| + cardinality
       val df = Tables.documents(s, dir).withColumn("y", docLabel)
@@ -448,6 +469,28 @@ object SparkEntry {
                 WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'it'
                 ELSE 'pt' END AS pred_lang
          FROM s""",
+    "q_select_kruskal" ->
+      """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS v, CAST(doc_id AS DOUBLE) AS v2,
+                    CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y FROM documents),
+         k1 AS (
+           WITH g AS (SELECT v, y, count(*) AS cnt FROM d GROUP BY 1, 2),
+           xt AS (SELECT v, CAST(sum(cnt) AS DOUBLE) AS n FROM g GROUP BY 1),
+           rx AS (SELECT v, n, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - n + (n + 1) / 2.0 AS rx FROM xt),
+           j AS (SELECT g.y, sum(g.cnt * rx.rx) AS rg, CAST(sum(g.cnt) AS DOUBLE) AS ng FROM g JOIN rx USING (v) GROUP BY g.y),
+           t AS (SELECT sum(n * n * n - n) AS tsum, sum(n) AS nn FROM xt)
+           SELECT (12.0 / (nn * (nn + 1)) * (SELECT sum(rg * rg / ng) FROM j) - 3 * (nn + 1))
+                  / (1 - tsum / (nn * nn * nn - nn)) AS h, nn FROM t),
+         k2 AS (
+           WITH g AS (SELECT v2 AS v, y, count(*) AS cnt FROM d GROUP BY 1, 2),
+           xt AS (SELECT v, CAST(sum(cnt) AS DOUBLE) AS n FROM g GROUP BY 1),
+           rx AS (SELECT v, n, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - n + (n + 1) / 2.0 AS rx FROM xt),
+           j AS (SELECT g.y, sum(g.cnt * rx.rx) AS rg, CAST(sum(g.cnt) AS DOUBLE) AS ng FROM g JOIN rx USING (v) GROUP BY g.y),
+           t AS (SELECT sum(n * n * n - n) AS tsum, sum(n) AS nn FROM xt)
+           SELECT (12.0 / (nn * (nn + 1)) * (SELECT sum(rg * rg / ng) FROM j) - 3 * (nn + 1))
+                  / (1 - tsum / (nn * nn * nn - nn)) AS h, nn FROM t)
+         SELECT 'n_chars' AS feature, round(h, 6) AS h, round(h / (nn - 1), 6) AS epsilon_sq FROM k1
+         UNION ALL
+         SELECT 'doc_id', round(h, 6), round(h / (nn - 1), 6) FROM k2""",
     "q_select_pearson" ->
       """SELECT 'n_chars' AS feature,
            round(abs(corr(n_chars, CASE WHEN n_chars > 300 THEN 1 ELSE 0 END)), 6) AS abs_corr,

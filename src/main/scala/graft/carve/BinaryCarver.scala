@@ -62,13 +62,37 @@ object BinaryCarver {
     /** Scoring path (reference `base_discretizer.transform`): replaces each
       * carved feature column with its ordinal bin code (IntegerType).
       * Pure projection — no shuffle, codegen-friendly chained conditions.
+      * `checkValues` (X5 raise mode) fails the job on a categorical value
+      * unseen at fit time when the feature has no default bucket.
       */
-    def transform(df: DataFrame, keepOriginal: Boolean = false): DataFrame = {
+    def transform(df: DataFrame, keepOriginal: Boolean = false, checkValues: Boolean = false): DataFrame = {
       kept.foldLeft(df) { (d, f) =>
-        val binCol = transformColumn(f, col(f.name))
+        val binCol0 = transformColumn(f, col(f.name))
+        val binCol =
+          if (checkValues && f.kind == "categorical" && f.otherBin < 0)
+            when(col(f.name).isNotNull && binCol0.isNull,
+              raise_error(concat(lit(s"[check_values] unseen value for ${f.name}: "),
+                col(f.name).cast("string"))))
+              .otherwise(binCol0)
+          else binCol0
         if (keepOriginal) d.withColumn(s"${f.name}_bin", binCol)
         else d.withColumn(f.name, binCol)
       }
+    }
+
+    /** Per-bin fit summary (reference `BaseCarver.summary`): one row per
+      * kept-feature bin plus one row per dropped feature.
+      */
+    def summary(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      val rows = features.flatMap { f =>
+        if (f.dropped) Vector((f.name, f.kind, f.cramerv, f.tschuprowt, -1, "", Double.NaN, Double.NaN, 0L, true, f.droppedReason))
+        else f.rates.zipWithIndex.map { case (r, i) =>
+          (f.name, f.kind, f.cramerv, f.tschuprowt, i, f.binLabels(i), r.rate, r.frequency, math.round(r.count), false, "")
+        }
+      }
+      rows.toDF("feature", "kind", "cramerv", "tschuprowt", "label", "content",
+        "rate", "frequency", "count", "dropped", "dropped_reason")
     }
 
     /** Human-readable label variant of transform. */
@@ -83,6 +107,47 @@ object BinaryCarver {
     private def transformColumn(f: FittedFeature, c: Column): Column =
       if (f.kind == "quantitative") quantitativeBinExpr(f, c)
       else categoricalBinExpr(f, c)
+
+    /** Manual override (reference Features group/update surface): merge
+      * bin `source` into bin `target` of one feature, renumbering bins
+      * compactly and recombining labels/rates (count-weighted).
+      */
+    def groupBins(featureName: String, target: Int, source: Int): Model = {
+      require(target != source, "target and source bins must differ")
+      val f = features.find(_.name == featureName)
+        .getOrElse(throw new IllegalArgumentException(s"no feature $featureName"))
+      require(!f.dropped, s"$featureName was dropped")
+      require(target >= 0 && target < f.nBins && source >= 0 && source < f.nBins,
+        s"bins out of range for $featureName (${f.nBins} bins)")
+      // old bin id -> new bin id (source joins target, higher ids shift down)
+      def remap(b: Int): Int = {
+        val merged = if (b == source) target else b
+        if (merged > source) merged - 1 else merged
+      }
+      val keepOrder = (0 until f.nBins).filterNot(_ == source)
+      val newLabels = keepOrder.map { b =>
+        if (b == target) {
+          val parts = Seq(f.binLabels(math.min(target, source)), f.binLabels(math.max(target, source)))
+          parts.mkString(" | ")
+        } else f.binLabels(b)
+      }.toVector
+      val total = f.rates.map(_.count).sum
+      val newRates = keepOrder.map { b =>
+        if (b == target) {
+          val a = f.rates(target); val c = f.rates(source)
+          val n = a.count + c.count
+          Search.RateRow(a.label, (a.rate * a.count + c.rate * c.count) / n, n / total, n)
+        } else f.rates(b)
+      }.toVector
+      val nf = f.copy(
+        prebinToBin = f.prebinToBin.map(b => if (b < 0) b else remap(b)),
+        valueToBin = f.valueToBin.view.mapValues(remap).toMap,
+        nanBin = if (f.nanBin < 0) f.nanBin else remap(f.nanBin),
+        otherBin = if (f.otherBin < 0) f.otherBin else remap(f.otherBin),
+        binLabels = newLabels,
+        rates = newRates)
+      copy(features = features.map(x => if (x.name == featureName) nf else x))
+    }
 
     def toJson: String = Json.writeModel(this)
     def save(path: String): Unit = {
@@ -107,9 +172,18 @@ object BinaryCarver {
     val unseen = if (f.otherBin >= 0) lit(f.otherBin) else lit(null).cast("int")
     val mapped =
       if (f.valueToBin.isEmpty) unseen
-      else coalesce(element_at(typedlit(f.valueToBin), c.cast("string")), unseen)
+      else coalesce(element_at(typedlit(f.valueToBin), categoricalStringExpr(c)), unseen)
     when(c.isNull, nanCase).otherwise(mapped).cast("int")
   }
+
+  /** Categorical stringification matching the reference's StringDiscretizer
+    * (`discretizers/utils/type_discretizers.py`, T1): integral numerics lose
+    * the ".0" ("7.0" -> "7"); strings pass through.
+    */
+  def categoricalStringExpr(c: Column): Column =
+    // pure string rewrite (no numeric cast: ANSI mode throws on 'abc'):
+    // an integral decimal rendering loses its ".0"
+    regexp_replace(c.cast("string"), "^(-?\\d+)\\.0$", "$1")
 
   /** Infer feature kinds from the schema (reference `infer_feature_kind`). */
   def inferSpecs(df: DataFrame, exclude: Seq[String]): Seq[FeatureSpec] = {
@@ -143,7 +217,13 @@ object BinaryCarver {
       cv: Int = 0,
       // rescue-rare rerun (C13): when nothing is viable at min_freq and a
       // validation view exists, rerun with the min_freq veto waived
-      rescue: Boolean = false
+      rescue: Boolean = false,
+      // sketch prebin path (SURVEY.md §7.4): quantitative columns whose
+      // approx distinct count exceeds this are pre-bucketized scan-side into
+      // their approxQuantile(q) buckets, so the collected histogram stays
+      // O(q) regardless of raw cardinality (the 10^12-row path). 0 disables.
+      sketchCardinalityThreshold: Long = 2000000L,
+      sketchRelativeError: Double = 0.0001
   )
 
   def fit(
@@ -153,10 +233,37 @@ object BinaryCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config()
   ): Model = {
-    val trainHist = histogram(train, target, specs)
-    val devHist = dev.map(d => histogram(d, target, specs))
-    val foldHists = if (config.cv > 1) histogramFolds(train, target, specs, config.cv) else Nil
+    val sketched = sketchHighCardinality(train, specs, config)
+    val trainHist = histogram(train, target, specs, sketched)
+    val devHist = dev.map(d => histogram(d, target, specs, sketched))
+    val foldHists = if (config.cv > 1) histogramFolds(train, target, specs, config.cv, sketched) else Nil
     fitFromHistograms(trainHist, devHist, target, specs, config, foldHists)
+  }
+
+  /** Sketch path for high-cardinality quantitative columns: one
+    * `approx_count_distinct` pass finds the offenders, then each gets its
+    * `approxQuantile` edges (Greenwald-Khanna sketch, cluster-side). The
+    * histogram pass substitutes such a column with its bucket's
+    * representative value (the bucket's upper edge — via the codegen'd
+    * binary-search bucketize), so the collected histogram carries at most
+    * q+1 distinct values per sketched feature and the downstream driver
+    * prebin (findQuantiles over the weighted representatives) reproduces
+    * the sketched edges. Returns feature -> ascending distinct edges.
+    */
+  def sketchHighCardinality(df: DataFrame, specs: Seq[FeatureSpec], config: Config): Map[String, Vector[Double]] = {
+    if (config.sketchCardinalityThreshold <= 0) return Map.empty
+    val quants = specs.filter(_.kind == "quantitative")
+    if (quants.isEmpty) return Map.empty
+    val aggs = quants.map(s => approx_count_distinct(col(s.name)).as(s.name))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val big = quants.filter(s => row.getAs[Long](s.name) > config.sketchCardinalityThreshold)
+    if (big.isEmpty) return Map.empty
+    val q = math.rint(2.0 / config.minFreq).toInt // = round(1/halfMinFreq)
+    val probs = (1 until q).map(_.toDouble / q).toArray
+    big.map { s =>
+      s.name -> df.stat.approxQuantile(s.name, probs, config.sketchRelativeError)
+        .filterNot(_.isNaN).distinct.sorted.toVector
+    }.toMap
   }
 
   /** CV fold histograms in ONE extra cluster pass: a deterministic fold key
@@ -164,10 +271,11 @@ object BinaryCarver {
     * rows with identical content share a fold, and the assignment is
     * independent of partitioning/parallelism (C4).
     */
-  def histogramFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int): Seq[Map[String, Array[HistRow]]] = {
+  def histogramFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int,
+      sketched: Map[String, Vector[Double]] = Map.empty): Seq[Map[String, Array[HistRow]]] = {
     val foldKey = pmod(xxhash64(specs.map(s => col(s.name)) :+ col(target): _*), lit(cv))
     val withFold = df.withColumn("__fold", foldKey)
-    (0 until cv).map(f => histogram(withFold.filter(col("__fold") === f), target, specs))
+    (0 until cv).map(f => histogram(withFold.filter(col("__fold") === f), target, specs, sketched))
   }
 
   /** Driver-only fit from collected histograms — the resumable second
@@ -231,15 +339,16 @@ object BinaryCarver {
     * count + sum(y) per (feature, value). Map-side partial aggregation
     * keeps the shuffle at (features × cardinality) rows.
     */
-  def histogram(df: DataFrame, target: String, specs: Seq[FeatureSpec]): Map[String, Array[HistRow]] = {
+  def histogram(df: DataFrame, target: String, specs: Seq[FeatureSpec],
+      sketched: Map[String, Vector[Double]] = Map.empty): Map[String, Array[HistRow]] = {
     val y = col(target).cast("double")
     val entries = specs.map { s =>
       if (s.kind == "quantitative")
-        struct(lit(s.name).as("fid"), col(s.name).cast("double").as("dv"),
+        struct(lit(s.name).as("fid"), quantValueExpr(s.name, sketched).as("dv"),
           lit(null).cast("string").as("sv"))
       else
         struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
-          col(s.name).cast("string").as("sv"))
+          categoricalStringExpr(col(s.name)).as("sv"))
     }
     val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"))
     val agg = long
@@ -262,6 +371,21 @@ object BinaryCarver {
     }
     byFid.view.mapValues(_.toArray).toMap
   }
+
+  /** Raw value, or — for sketched high-cardinality columns — the bucket's
+    * representative value (upper edge; last bucket -> last edge + 1). Null
+    * and NaN pass through as null (the NaN bucket).
+    */
+  private def quantValueExpr(name: String, sketched: Map[String, Vector[Double]]): Column =
+    sketched.get(name) match {
+      case None => col(name).cast("double")
+      case Some(edges) if edges.isEmpty => col(name).cast("double")
+      case Some(edges) =>
+        val reps = edges :+ (edges.last + 1.0)
+        val bucket = graft.transform.BinarySearchBucketize.column(
+          col(name), edges, edges.indices.toVector :+ edges.length, nanBin = -1)
+        element_at(typedlit(reps), bucket + 1).cast("double")
+    }
 
   /** Driver-side search-ready feature state. */
   final case class Prep(

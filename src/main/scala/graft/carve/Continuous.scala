@@ -24,20 +24,49 @@ import scala.collection.mutable
   */
 object Continuous {
 
+  /** numpy-median semantics over an integer-weighted value histogram: the
+    * middle element of the expanded sorted sample, or the average of the
+    * two middle elements for an even total.
+    */
+  def weightedMedian(hist: Array[(Double, Double)]): Double = {
+    if (hist.isEmpty) return Double.NaN
+    val sorted = hist.sortBy(_._1)
+    val total = math.round(sorted.map(_._2).sum)
+    if (total == 0) return Double.NaN
+    def valueAt(pos: Long): Double = { // 1-indexed order statistic
+      var acc = 0L
+      var i = 0
+      while (i < sorted.length) {
+        acc += math.round(sorted(i)._2)
+        if (acc >= pos) return sorted(i)._1
+        i += 1
+      }
+      sorted.last._1
+    }
+    if (total % 2 == 1) valueAt(total / 2 + 1)
+    else (valueAt(total / 2) + valueAt(total / 2 + 1)) / 2.0
+  }
+
   /** Per-modality rank aggregate for one feature. */
   final case class RankXagg(
       labels: Vector[String],
       n: Array[Double],
       sumRank: Array[Double],
       sumY: Array[Double],
-      tieCorr: Double
+      tieCorr: Double,
+      // viability rate: target_mean (default) or target_median (R4,
+      // `continuous_target_rates.py:TargetMedian`); medians need the
+      // per-modality y histogram (grouped counts, never y-lists)
+      rateStrategy: String = "target_mean",
+      yHist: Map[String, Array[(Double, Double)]] = Map.empty
   ) {
     def nObs: Double = n.sum
     def without(label: String): RankXagg = {
       val idx = labels.indexOf(label)
       if (idx < 0) this
       else RankXagg(labels.patch(idx, Nil, 1), n.patch(idx, Nil, 1),
-        sumRank.patch(idx, Nil, 1), sumY.patch(idx, Nil, 1), tieCorr)
+        sumRank.patch(idx, Nil, 1), sumY.patch(idx, Nil, 1), tieCorr,
+        rateStrategy, yHist - label)
     }
     def grouped(indexToGroupby: Map[String, String]): RankXagg = {
       val order = mutable.LinkedHashMap.empty[String, Int]
@@ -52,11 +81,23 @@ object Continuous {
         gn(g) += n(i); gr(g) += sumRank(i); gy(g) += sumY(i)
         i += 1
       }
-      RankXagg(order.keysIterator.toVector, gn, gr, gy, tieCorr)
+      val gHist =
+        if (yHist.isEmpty) yHist
+        else labels.indices.groupBy(i => order(leaders(i))).map { case (g, idxs) =>
+          order.keysIterator.toVector(g) ->
+            idxs.flatMap(i => yHist.getOrElse(labels(i), Array.empty[(Double, Double)])).toArray
+        }
+      RankXagg(order.keysIterator.toVector, gn, gr, gy, tieCorr, rateStrategy, gHist)
     }
     def rates: Vector[Search.RateRow] = {
       val total = nObs
-      labels.indices.map(i => Search.RateRow(labels(i), sumY(i) / n(i), n(i) / total, n(i))).toVector
+      labels.indices.map { i =>
+        val rate =
+          if (rateStrategy == "target_median")
+            Continuous.weightedMedian(yHist.getOrElse(labels(i), Array.empty))
+          else sumY(i) / n(i)
+        Search.RateRow(labels(i), rate, n(i) / total, n(i))
+      }.toVector
     }
   }
 
@@ -163,24 +204,24 @@ object Continuous {
       hasNan: Boolean = false,
       nanLabel: String = BinaryCarver.NanLabel,
       topKInitial: Int = 2000,
-      escalate: Boolean = false
+      escalate: Boolean = false,
+      folds: Seq[RankXagg] = Nil
   ): Option[(Vector[Vector[String]], Double, Vector[Search.RateRow])] = {
 
-    def viability(t: RankXagg, d: Option[RankXagg]): Boolean = {
+    def viability(t: RankXagg, d: Option[RankXagg], f: Seq[RankXagg]): Boolean = {
       val tr = t.rates
       if (!Search.testMinFreq(tr, minFreq, alpha) || !Search.testDistinctRates(tr)) false
-      else d match {
-        case None => true
-        case Some(dd) =>
-          val dr = dd.rates
-          Search.testMinFreq(dr, minFreq, alpha) && Search.testDistinctRates(dr) &&
-            Search.testOrdering(tr.map(_.rate), dr.map(_.rate))
+      else (d.toSeq ++ f).forall { dd =>
+        val dr = dd.rates
+        Search.testMinFreq(dr, minFreq, alpha) && Search.testDistinctRates(dr) &&
+          Search.testOrdering(tr.map(_.rate), dr.map(_.rate))
       }
     }
 
     val rawLabels0 = trainSub.labels
     val trainNoNan = trainSub
     val devNoNan = if (hasNan) dev.map(_.without(nanLabel)) else dev
+    val foldsNoNan = if (hasNan) folds.map(_.without(nanLabel)) else folds
 
     def align(x: RankXagg, order: Vector[String]): (Array[Double], Array[Double], Array[Double]) = {
       val pos = x.labels.zipWithIndex.toMap
@@ -207,7 +248,8 @@ object Continuous {
           while (i < cands.length && found.isEmpty) {
             val (combo, h) = cands(i)
             val idx = combo.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
-            if (viability(trainNoNan.grouped(idx), devNoNan.map(_.grouped(idx)))) found = Some((combo, h))
+            if (viability(trainNoNan.grouped(idx), devNoNan.map(_.grouped(idx)),
+              foldsNoNan.map(_.grouped(idx)))) found = Some((combo, h))
             i += 1
           }
           walked = i
@@ -219,13 +261,13 @@ object Continuous {
         found
       }
 
-    val (mergedTrain, mergedDev, mergedLabels, baseBest) = nonNanWinner match {
+    val (mergedTrain, mergedDev, mergedFolds, mergedLabels, baseBest) = nonNanWinner match {
       case Some((combo, h)) =>
         val idx = combo.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
         val gt = trainFull.grouped(idx)
-        (gt, dev.map(_.grouped(idx)), gt.labels.filterNot(_ == nanLabel),
+        (gt, dev.map(_.grouped(idx)), folds.map(_.grouped(idx)), gt.labels.filterNot(_ == nanLabel),
           Some((combo, h, gt.rates)))
-      case None => (trainFull, dev, rawLabels0, None)
+      case None => (trainFull, dev, folds, rawLabels0, None)
     }
 
     if (!hasNan) return baseBest
@@ -251,7 +293,8 @@ object Continuous {
         if (!historized.contains(v)) {
           historized += v
           val idx = v.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
-          if (viability(mergedTrain.grouped(idx), mergedDev.map(_.grouped(idx)))) winner = Some((v, h))
+          if (viability(mergedTrain.grouped(idx), mergedDev.map(_.grouped(idx)),
+            mergedFolds.map(_.grouped(idx)))) winner = Some((v, h))
         }
         i += 1
       }

@@ -40,10 +40,27 @@ object ContinuousCarver {
     }.toMap
 
     // ---- pass 2: rank stats per (feature, modality), both rank bases
-    val rankStats = rankStatsJob(train, target, specs, prep)
+    val withMedians = config.rateStrategy == "target_median"
+    val rankStats = rankStatsJob(train, target, specs, prep, withMedians)
 
     // ---- dev pass: (n, Σy) per modality is all the vetoes need
     val devHist = dev.map(d => BinaryCarver.histogram(d, target, specs))
+    // CV folds (C4): deterministic fold key, one histogram per held-out fold
+    val foldHists =
+      if (config.cv > 1) BinaryCarver.histogramFolds(train, target, specs, config.cv)
+      else Nil
+    val devYHists: Map[String, Map[String, Array[(Double, Double)]]] =
+      if (!withMedians) Map.empty
+      else dev.map { d =>
+        val y = col(target).cast("double")
+        val entries = specs.map(s => struct(lit(s.name).as("fid"), labelExpr(s, prep(s.name)).as("lbl")))
+        val rows = d.select(explode(array(entries: _*)).as("e"), y.as("y"))
+          .groupBy(col("e.fid").as("fid"), col("e.lbl").as("lbl"), col("y"))
+          .agg(count(lit(1)).as("c")).collect()
+        rows.groupBy(_.getString(0)).view.mapValues { rs =>
+          rs.groupBy(_.getString(1)).view.mapValues(_.map(r => (r.getDouble(2), r.getLong(3).toDouble)).toArray).toMap
+        }.toMap: Map[String, Map[String, Array[(Double, Double)]]]
+      }.getOrElse(Map.empty)
 
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
@@ -52,13 +69,19 @@ object ContinuousCarver {
       Future {
         val p = prep(spec.name)
         val (sub, full) = rankStats(spec.name)
-        val devX = devHist.map { h =>
+        def view(h: Map[String, Array[BinaryCarver.HistRow]],
+            yh: Map[String, Map[String, Array[(Double, Double)]]]): Continuous.RankXagg = {
           val x = BinaryCarver.devXaggOf(spec, p, h.getOrElse(spec.name, Array.empty))
-          // RankXagg view of the dev (ranks unused by vetoes)
+          // RankXagg view of a validation sample (ranks unused by vetoes);
+          // the median rate additionally needs the y histogram per modality
           Continuous.RankXagg(x.labels, x.labels.indices.map(i => x.n0(i) + x.n1(i)).toArray,
-            new Array[Double](x.labels.length), x.n1, 1.0)
+            new Array[Double](x.labels.length), x.n1, 1.0,
+            if (withMedians) "target_median" else "target_mean",
+            yh.getOrElse(spec.name, Map.empty))
         }
-        searchContinuous(spec, p, sub, full, devX.filter(_.labels.nonEmpty), config)
+        val devX = devHist.map(view(_, devYHists))
+        val foldXs = foldHists.map(view(_, Map.empty)).filter(_.labels.nonEmpty)
+        searchContinuous(spec, p, sub, full, devX.filter(_.labels.nonEmpty), config, foldXs)
       }
     }, Duration.Inf)
 
@@ -75,7 +98,7 @@ object ContinuousCarver {
       }
       when(x.isNull || isnan(x), lit(NanLabel)).otherwise(expr)
     } else {
-      val c = col(spec.name).cast("string")
+      val c = BinaryCarver.categoricalStringExpr(col(spec.name))
       val mapped =
         if (p.valueToRaw.isEmpty) lit(OtherLabel)
         else coalesce(element_at(typedlit(p.valueToRaw), c), if (p.hasDefault) lit(OtherLabel) else c)
@@ -87,7 +110,8 @@ object ContinuousCarver {
       df: DataFrame,
       target: String,
       specs: Seq[FeatureSpec],
-      prep: Map[String, Prep]
+      prep: Map[String, Prep],
+      withMedians: Boolean = false
   ): Map[String, (Continuous.RankXagg, Continuous.RankXagg)] = {
     val y = col(target).cast("double")
     val entries = specs.map { s =>
@@ -142,6 +166,17 @@ object ContinuousCarver {
         ((r.getString(1), r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4), r.getDouble(5)))
     }
 
+    // per-(feature, modality) y histogram for the median rate (R4): one more
+    // grouped collect, bounded by modalities x distinct-y
+    val yHists: Map[String, Map[String, Array[(Double, Double)]]] =
+      if (!withMedians) Map.empty
+      else {
+        val h = long.groupBy(col("fid"), col("lbl"), col("y")).agg(count(lit(1)).as("c")).collect()
+        h.groupBy(_.getString(0)).view.mapValues { rows =>
+          rows.groupBy(_.getString(1)).view.mapValues(_.map(r => (r.getDouble(2), r.getLong(3).toDouble)).toArray).toMap
+        }.toMap
+      }
+
     specs.map { s =>
       val p = prep(s.name)
       val rows = byFid.getOrElse(s.name, mutable.ArrayBuffer.empty).map(t => t._1 -> t).toMap
@@ -152,7 +187,9 @@ object ContinuousCarver {
           labels.map(l => rows.get(l).map(_._2).getOrElse(0.0)).toArray,
           labels.map(l => rows.get(l).map(t => if (useSub) t._4 else t._3).getOrElse(0.0)).toArray,
           labels.map(l => rows.get(l).map(_._5).getOrElse(0.0)).toArray,
-          tieCorr
+          tieCorr,
+          if (withMedians) "target_median" else "target_mean",
+          yHists.getOrElse(s.name, Map.empty)
         )
       val fullLabels = p.xagg.labels
       val subLabels = fullLabels.filterNot(_ == NanLabel)
@@ -166,11 +203,17 @@ object ContinuousCarver {
       sub: Continuous.RankXagg,
       full: Continuous.RankXagg,
       devX: Option[Continuous.RankXagg],
-      config: Config
+      config: Config,
+      folds: Seq[Continuous.RankXagg] = Nil
   ): FittedFeature = {
-    val best = Continuous.bestCombination(
-      sub, full, devX, config.maxNMod, Some(config.minFreq), config.minFreqAlpha,
-      p.hasNan, NanLabel, config.topKInitial, config.escalate)
+    def run(minFreq: Option[Double]) = Continuous.bestCombination(
+      sub, full, devX, config.maxNMod, minFreq, config.minFreqAlpha,
+      p.hasNan, NanLabel, config.topKInitial, config.escalate, folds)
+    val normal = run(Some(config.minFreq))
+    // rescue-rare (C13): min_freq waived when a validation view exists
+    val best =
+      if (normal.isEmpty && config.rescue && (devX.nonEmpty || folds.nonEmpty)) run(None)
+      else normal
     best match {
       case None =>
         FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,

@@ -44,7 +44,11 @@ object OrdinalCarver {
       features: Vector[OFitted]
   ) {
     def kept: Vector[OFitted] = features.filterNot(_.feature.dropped)
-    private def binaryView = BinaryCarver.Model(target, minFreq, maxNMod, sortBy, features.map(_.feature))
+    /** Structural view shared with the binary machinery: powers transform
+      * and the stability monitor (PSI/chi² over bin distributions applies
+      * to any fitted bin structure).
+      */
+    def binaryView: BinaryCarver.Model = BinaryCarver.Model(target, minFreq, maxNMod, sortBy, features.map(_.feature))
     def transform(df: DataFrame, keepOriginal: Boolean = false): DataFrame =
       binaryView.transform(df, keepOriginal)
     def transformLabels(df: DataFrame): DataFrame = binaryView.transformLabels(df)
@@ -67,7 +71,7 @@ object OrdinalCarver {
           lit(null).cast("string").as("sv"))
       else
         struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
-          col(s.name).cast("string").as("sv"))
+          BinaryCarver.categoricalStringExpr(col(s.name)).as("sv"))
     }
     val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"))
     val agg = long

@@ -16,20 +16,21 @@ import graft.text.TextOps
   */
 object PagePipeline {
 
-  /** Derived per-page feature frame: one window shuffle on `url` covers
-    * lag + backfill; host features come free in the scan projection.
+  /** Scan-side projection (no shuffle): every text/time-derived scalar,
+    * heavy payload columns dropped — the window exchanges must never carry
+    * the html/text bytes (at 100 TB the payload dominates shuffle volume).
     */
-  def featureFrame(pages: DataFrame): DataFrame = {
-    val base = graft.carve.DatetimeFeatures.withTimedeltas(
+  def scanFrame(pages: DataFrame): DataFrame =
+    graft.carve.DatetimeFeatures.withTimedeltas(
       pages
-        // compute every text-derived scalar in the scan projection, then drop
-        // the heavy payload columns: the window exchanges must never carry the
-        // html/text bytes (at 100 TB the payload dominates shuffle volume)
         .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
         .withColumn("text_len", length(col("text")).cast("double"))
         .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double")),
       Seq(graft.carve.DatetimeFeatures.DatetimeSpec("warc_ts", "2024-01-01", as = "warc_age_sec")))
       .drop("html", "text")
+
+  def featureFrame(pages: DataFrame): DataFrame = {
+    val base = scanFrame(pages)
     val lagged = Temporal.lagLead(base, Seq("url"), Seq("warc_ts"), "text_len", lags = Seq(1), leads = Nil)
     Temporal
       .sessionize(lagged, Seq("host"), "warc_ts", gapSeconds = 14L * 24 * 3600, orderTieBreak = Seq("url"))
@@ -67,14 +68,24 @@ object PagePipeline {
     val manifest = IcebergLite.currentManifest(table)
       .getOrElse(throw new IllegalStateException(s"no snapshot in $table"))
     // version suffix invalidates checkpoints when the feature set changes
-    val cfgHash = IcebergLite.configHash(s"$config|$asOf|v2-warc-age")
+    val cfgHash = IcebergLite.configHash(s"$config|$asOf|v3-sketch")
     val computed = Vector.newBuilder[String]
 
     val histJson = IcebergLite.loadCheckpoint(table, "hist", manifest.snapshotId, cfgHash).getOrElse {
       computed += "hist"
       val pages = IcebergLite.read(spark, table)
-      val train = featureFrame(Temporal.leakageGuard(pages, "warc_ts", asOf)).withColumn("y", label)
-      val hist = BinaryCarver.histogram(train, "y", specs)
+      val guarded = Temporal.leakageGuard(pages, "warc_ts", asOf)
+      // high-cardinality features (warc_age_sec has ~one distinct value per
+      // row) go through the sketch prebin: the collected histogram stays
+      // O(quantiles), not O(distinct values). The sketch's two extra passes
+      // (distinct-count gate + approxQuantile) run on the cheap scan-side
+      // projection — no window shuffle, just the parquet scan.
+      val scanOnly = scanFrame(guarded)
+      val sketchSpecs = specs.filter(s => scanOnly.columns.contains(s.name))
+      val sketched = BinaryCarver.sketchHighCardinality(scanOnly, sketchSpecs,
+        config.copy(sketchCardinalityThreshold = math.min(config.sketchCardinalityThreshold, 100000L)))
+      val train = featureFrame(guarded).withColumn("y", label)
+      val hist = BinaryCarver.histogram(train, "y", specs, sketched)
       val json = HistJson.write(hist)
       IcebergLite.saveCheckpoint(table, IcebergLite.Checkpoint("hist", manifest.snapshotId, cfgHash, json))
       json

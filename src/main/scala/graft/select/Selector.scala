@@ -37,7 +37,11 @@ object Selector {
       maxNanFreq: Double = 0.999,
       maxModeFreq: Double = 0.999,
       redundancyThreshold: Double = 0.9,
-      nBest: Int = 10
+      nBest: Int = 10,
+      // outlier gates (F3, `quantitative_measures.py:290-330`): max allowed
+      // outlier rate per quantitative feature; None disables the gate
+      maxZscoreOutlierRate: Option[Double] = None,
+      maxIqrOutlierRate: Option[Double] = None
   )
 
   /** One pass: per-feature nan fraction, mode frequency, cardinality, and
@@ -153,6 +157,118 @@ object Selector {
     }.toMap
   }
 
+  /** Kruskal-Wallis H (tie-corrected) per quantitative feature with the
+    * target as the grouping variable, plus the ε²/η² effect sizes
+    * (`selectors/measures/quantitative_measures.py:36-160`) — computed from
+    * the same melt-groupBy machinery as Spearman: one shuffle sized by
+    * cardinality, ranks from grouped cumulative counts, never a row sort.
+    */
+  final case class KruskalRow(h: Double, epsilonSq: Double, etaSq: Double)
+
+  def kruskalByFeature(df: DataFrame, target: String, quants: Seq[String]): Map[String, KruskalRow] = {
+    if (quants.isEmpty) return Map.empty
+    val melted = df
+      .select(col(target).cast("double").as("yv"),
+        explode(map(quants.flatMap(n => Seq(lit(n), col(n).cast("double"))): _*)).as(Seq("fid", "v")))
+      .filter(col("v").isNotNull && !isnan(col("v")) && col("yv").isNotNull)
+    val g = melted.groupBy(col("fid"), col("v"), col("yv")).agg(count(lit(1)).as("cnt"))
+    // average rank of each x value within fid (ties -> midrank)
+    val xTot = g.groupBy("fid", "v").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy(col("fid")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rx = xTot
+      .withColumn("cum", sum(col("n")).over(w))
+      .select(col("fid"), col("v"), (col("cum") - col("n") + (col("n") + 1) / 2.0).as("rx"),
+        col("n").as("tie"))
+    val joined = g.join(rx, Seq("fid", "v"))
+    val grpStats = joined.groupBy("fid", "yv").agg(
+      sum(col("cnt")).cast("double").as("ng"),
+      sum(col("cnt") * col("rx")).as("rg"))
+    val tieStats = rx.groupBy("fid").agg(
+      sum(col("tie") * col("tie") * col("tie") - col("tie")).cast("double").as("tsum"))
+    val rows = grpStats.groupBy("fid").agg(
+      sum(col("ng")).as("n"),
+      sum(col("rg") * col("rg") / col("ng")).as("ssbn"),
+      count(lit(1)).as("k")
+    ).join(tieStats, Seq("fid")).collect()
+    rows.map { r =>
+      val n = r.getDouble(1); val ssbn = r.getDouble(2); val k = r.getLong(3).toDouble
+      val tsum = r.getDouble(4)
+      val h0 = 12.0 / (n * (n + 1.0)) * ssbn - 3.0 * (n + 1.0)
+      val tie = 1.0 - tsum / (n * n * n - n)
+      val h = if (tie <= 0) Double.NaN else h0 / tie
+      val eps = if (n > 1) h / (n - 1.0) else Double.NaN
+      val eta = if (n - k > 0) math.max(0.0, (h - k + 1.0) / (n - k)) else Double.NaN
+      r.getString(0) -> KruskalRow(h, eps, eta)
+    }.toMap
+  }
+
+  /** R measure per quantitative feature vs a binary/low-cardinality target
+    * (`quantitative_measures.py:RMeasure`): sqrt of the OLS R² of
+    * feature ~ C(target) = sqrt(SS_between / SS_total), one groupBy(target)
+    * aggregation for all features.
+    */
+  def rMeasure(df: DataFrame, target: String, quants: Seq[String]): Map[String, Double] = {
+    if (quants.isEmpty) return Map.empty
+    val aggs = quants.flatMap { n =>
+      val c = col(n).cast("double")
+      Seq(sum(c).as(s"${n}__s"), sum(c * c).as(s"${n}__ss"),
+        count(c).as(s"${n}__n"))
+    }
+    val rows = df.groupBy(col(target)).agg(aggs.head, aggs.tail: _*).collect()
+    quants.map { n =>
+      val groups = rows.map(r => (
+        Option(r.getAs[java.lang.Double](s"${n}__s")).map(_.toDouble).getOrElse(0.0),
+        Option(r.getAs[java.lang.Double](s"${n}__ss")).map(_.toDouble).getOrElse(0.0),
+        r.getAs[Long](s"${n}__n").toDouble)).filter(_._3 > 0)
+      val nTot = groups.map(_._3).sum
+      val sTot = groups.map(_._1).sum
+      val ssTot = groups.map(_._2).sum
+      val mean = sTot / nTot
+      val tss = ssTot - nTot * mean * mean
+      val bss = groups.map { case (sg, _, ng) => ng * (sg / ng - mean) * (sg / ng - mean) }.sum
+      val r2 = if (tss <= 0) Double.NaN else bss / tss
+      n -> (if (r2.isNaN || r2 < 0) Double.NaN else math.sqrt(r2))
+    }.toMap
+  }
+
+  /** Outlier rates per quantitative feature (F3,
+    * `quantitative_measures.py:290-330`): zscore rate = mean(|x-μ|>3σ)
+    * (sample σ), IQR rate = fraction outside [q1-1.5·iqr, q3+1.5·iqr].
+    * Two aggregation jobs for ALL features (moments+quartiles, then rates).
+    */
+  final case class OutlierRates(zscoreRate: Double, iqrRate: Double)
+
+  def outlierRates(df: DataFrame, quants: Seq[String]): Map[String, OutlierRates] = {
+    if (quants.isEmpty) return Map.empty
+    val statAggs = quants.flatMap { n =>
+      val c = col(n).cast("double")
+      Seq(avg(c).as(s"${n}__m"), stddev_samp(c).as(s"${n}__sd"),
+        percentile_approx(c, array(lit(0.25), lit(0.75)), lit(100000)).as(s"${n}__q"))
+    }
+    val st = df.agg(statAggs.head, statAggs.tail: _*).head()
+    val rateAggs = quants.flatMap { n =>
+      val c = col(n).cast("double")
+      val m = st.getAs[java.lang.Double](s"${n}__m")
+      val sd = st.getAs[java.lang.Double](s"${n}__sd")
+      val q = Option(st.getAs[scala.collection.Seq[Double]](s"${n}__q")).map(_.toSeq).orNull
+      val (zlo, zhi) =
+        if (m == null || sd == null || sd == 0.0) (Double.NegativeInfinity, Double.PositiveInfinity)
+        else (m - 3 * sd, m + 3 * sd)
+      val (ilo, ihi) =
+        if (q == null || q.length < 2) (Double.NegativeInfinity, Double.PositiveInfinity)
+        else { val iqr = q(1) - q(0); (q(0) - 1.5 * iqr, q(1) + 1.5 * iqr) }
+      Seq(avg((c < zlo || c > zhi).cast("double")).as(s"${n}__zr"),
+        avg((c < ilo || c > ihi).cast("double")).as(s"${n}__ir"))
+    }
+    val rr = df.agg(rateAggs.head, rateAggs.tail: _*).head()
+    quants.map { n =>
+      n -> OutlierRates(
+        Option(rr.getAs[java.lang.Double](s"${n}__zr")).map(_.toDouble).getOrElse(0.0),
+        Option(rr.getAs[java.lang.Double](s"${n}__ir")).map(_.toDouble).getOrElse(0.0))
+    }.toMap
+  }
+
   /** ANSI-safe Pearson correlation: Spark 4's `corr` throws DIVIDE_BY_ZERO
     * on constant columns under ANSI mode; this returns null instead.
     */
@@ -240,15 +356,25 @@ object Selector {
       config: Config = Config()
   ): Selection = {
     val metrics = (quantitativeMetrics(df, target, quants) ++ qualitativeMetrics(df, target, quals)).values.toVector
+    val outliers: Map[String, OutlierRates] =
+      if (config.maxZscoreOutlierRate.nonEmpty || config.maxIqrOutlierRate.nonEmpty)
+        outlierRates(df, quants)
+      else Map.empty
     val dropped = Vector.newBuilder[(FeatureRank, String)]
     val gated = metrics.filter { m =>
       val nanOk = m.nanFreq <= config.maxNanFreq
       val modeOk = m.modeFreq.isNaN || m.modeFreq <= config.maxModeFreq
       val cardOk = m.cardinality > 1
+      val zOk = config.maxZscoreOutlierRate.forall(t =>
+        outliers.get(m.name).forall(_.zscoreRate <= t))
+      val iOk = config.maxIqrOutlierRate.forall(t =>
+        outliers.get(m.name).forall(_.iqrRate <= t))
       if (!nanOk) dropped += ((m, f"nan_freq=${m.nanFreq}%.3f"))
       else if (!modeOk) dropped += ((m, f"mode_freq=${m.modeFreq}%.3f"))
       else if (!cardOk) dropped += ((m, "constant"))
-      nanOk && modeOk && cardOk
+      else if (!zOk) dropped += ((m, f"zscore_outliers=${outliers(m.name).zscoreRate}%.3f"))
+      else if (!iOk) dropped += ((m, f"iqr_outliers=${outliers(m.name).iqrRate}%.3f"))
+      nanOk && modeOk && cardOk && zOk && iOk
     }
     // pairwise association matrices over the gated survivors only
     val gatedQuants = gated.filter(_.kind == "quantitative").map(_.name)

@@ -104,6 +104,28 @@ class RobustnessSpec extends SparkSuite {
     assert(noDev.kept.isEmpty)
   }
 
+  test("continuous target_median rate (R4): median viability rates, monotone") {
+    val rows = (0 until 3000).map { i =>
+      val x = (i % 100).toDouble
+      val noise = ((i * 2654435761L) % 97).toDouble / 97.0
+      (x, x * 2.0 + noise * 10.0)
+    }
+    val cdf = rows.toDF("x", "yc")
+    val m = ContinuousCarver.fit(cdf, "yc", Seq(BinaryCarver.FeatureSpec("x", "quantitative")),
+      config = BinaryCarver.Config(sortBy = "kruskal", rateStrategy = "target_median"))
+    val f = m.kept.head
+    val rates = f.rates.map(_.rate)
+    assert(rates == rates.sorted, rates.toString)
+    // median of a bin differs from its mean on this skewed noise; sanity: the
+    // first bin's median is within the bin's y range
+    assert(rates.head >= 0.0 && rates.head <= 300.0)
+    // weightedMedian matches numpy semantics on hand cases
+    assert(Continuous.weightedMedian(Array((1.0, 1.0), (2.0, 1.0), (3.0, 1.0))) == 2.0)
+    assert(Continuous.weightedMedian(Array((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (10.0, 1.0))) == 2.5)
+    assert(Continuous.weightedMedian(Array((1.0, 3.0), (5.0, 1.0))) == 1.0)
+    assert(Continuous.weightedMedian(Array((1.0, 2.0), (5.0, 2.0))) == 3.0)
+  }
+
   test("datetime features: seconds since literal and since column; NaT -> null") {
     val rows = Seq(
       (1L, "2024-01-01 00:00:00", "2024-01-01 00:01:00"),
