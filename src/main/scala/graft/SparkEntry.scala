@@ -167,6 +167,18 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5, nBits = 4)
     }),
+    "q_embed_neardup" -> ((s, dir) => {
+      // corpus-vs-corpus embedding near-dup: planted near-identical vectors
+      // (deterministic jitter) must pair with their originals
+      val e = Tables.embeddings(s, dir)
+      val dups = e.filter(col("vec_id") < 30)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+        .withColumn("embedding",
+          transform(col("embedding").cast("array<double>"),
+            (x, i) => x + (pmod(col("vec_id") + i, lit(7)) - lit(3.0)) / lit(200.0)))
+      val all = e.withColumn("embedding", col("embedding").cast("array<double>")).unionByName(dups)
+      Similarity.embeddingNearDupPairs(all, "vec_id", "embedding", minCosine = 0.98)
+    }),
     // --------------------------------------------------------------- prebin
     "q_prebin_quantiles" -> ((s, dir) =>
       Quantiles.exactEdgesDF(Tables.documents(s, dir), "n_chars", 20)),

@@ -376,7 +376,7 @@ object BinaryCarver {
     * representative value (upper edge; last bucket -> last edge + 1). Null
     * and NaN pass through as null (the NaN bucket).
     */
-  private def quantValueExpr(name: String, sketched: Map[String, Vector[Double]]): Column =
+  private[carve] def quantValueExpr(name: String, sketched: Map[String, Vector[Double]]): Column =
     sketched.get(name) match {
       case None => col(name).cast("double")
       case Some(edges) if edges.isEmpty => col(name).cast("double")

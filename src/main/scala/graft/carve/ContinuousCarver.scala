@@ -30,7 +30,8 @@ object ContinuousCarver {
     val q = math.rint(1.0 / halfMinFreq).toInt
 
     // ---- pass 1: shared histogram → prebins (quantile edges, merges, OTHER)
-    val trainHist = BinaryCarver.histogram(train, target, specs)
+    val sketched = BinaryCarver.sketchHighCardinality(train, specs, config)
+    val trainHist = BinaryCarver.histogram(train, target, specs, sketched)
     def totalOf(name: String): Long = trainHist(name).map(_.count).sum
     val prep: Map[String, Prep] = specs.map { s =>
       s.name -> (if (s.kind == "quantitative")
@@ -44,10 +45,10 @@ object ContinuousCarver {
     val rankStats = rankStatsJob(train, target, specs, prep, withMedians)
 
     // ---- dev pass: (n, Σy) per modality is all the vetoes need
-    val devHist = dev.map(d => BinaryCarver.histogram(d, target, specs))
+    val devHist = dev.map(d => BinaryCarver.histogram(d, target, specs, sketched))
     // CV folds (C4): deterministic fold key, one histogram per held-out fold
     val foldHists =
-      if (config.cv > 1) BinaryCarver.histogramFolds(train, target, specs, config.cv)
+      if (config.cv > 1) BinaryCarver.histogramFolds(train, target, specs, config.cv, sketched)
       else Nil
     val devYHists: Map[String, Map[String, Array[(Double, Double)]]] =
       if (!withMedians) Map.empty

@@ -29,7 +29,9 @@ object MulticlassCarver {
       escalate: Boolean = false,
       maxHistogramRows: Long = 5000000L,
       cv: Int = 0,
-      rescue: Boolean = false
+      rescue: Boolean = false,
+      sketchCardinalityThreshold: Long = 2000000L,
+      sketchRelativeError: Double = 0.0001
   )
 
   final case class MFitted(feature: FittedFeature, cramerv: Double, tschuprowt: Double)
@@ -57,11 +59,12 @@ object MulticlassCarver {
     * sorted (canonical) column order — `get_multiclass_crosstab` pins the
     * same order in the reference. Returns (histograms, sorted classes).
     */
-  def histogramM(df: DataFrame, target: String, specs: Seq[FeatureSpec]): (Map[String, Array[KHistRow]], Vector[String]) = {
+  def histogramM(df: DataFrame, target: String, specs: Seq[FeatureSpec],
+      sketched: Map[String, Vector[Double]] = Map.empty): (Map[String, Array[KHistRow]], Vector[String]) = {
     val y = col(target).cast("string")
     val entries = specs.map { s =>
       if (s.kind == "quantitative")
-        struct(lit(s.name).as("fid"), col(s.name).cast("double").as("dv"),
+        struct(lit(s.name).as("fid"), BinaryCarver.quantValueExpr(s.name, sketched).as("dv"),
           lit(null).cast("string").as("sv"))
       else
         struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
@@ -96,13 +99,17 @@ object MulticlassCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config()
   ): Model = {
-    val (trainHist, classes) = histogramM(train, target, specs)
+    val sketched = BinaryCarver.sketchHighCardinality(train, specs,
+      BinaryCarver.Config(minFreq = config.minFreq,
+        sketchCardinalityThreshold = config.sketchCardinalityThreshold,
+        sketchRelativeError = config.sketchRelativeError))
+    val (trainHist, classes) = histogramM(train, target, specs, sketched)
     require(classes.length > 2,
       s"[MulticlassCarver] y has ${classes.length} classes; use BinaryCarver for <=2")
     // dev classes must map into the train class space (unseen dev classes raise
     // in the reference's ca_row_scores; here the histogram mapping raises)
     val devHist = dev.map { d =>
-      val (h, devClasses) = histogramM(d, target, specs)
+      val (h, devClasses) = histogramM(d, target, specs, sketched)
       val unseen = devClasses.filterNot(classes.contains)
       require(unseen.isEmpty, s"[MulticlassCarver] dev target carries unseen classes $unseen")
       val remap = devClasses.zipWithIndex.map { case (c, i) => i.toDouble -> classes.indexOf(c).toDouble }.toMap
@@ -113,7 +120,7 @@ object MulticlassCarver {
         val foldKey = pmod(xxhash64(specs.map(s => col(s.name)) :+ col(target): _*), lit(config.cv))
         val withFold = train.withColumn("__fold", foldKey)
         (0 until config.cv).map { f =>
-          val (h, foldClasses) = histogramM(withFold.filter(col("__fold") === f), target, specs)
+          val (h, foldClasses) = histogramM(withFold.filter(col("__fold") === f), target, specs, sketched)
           val remap = foldClasses.zipWithIndex.map { case (c, i) => i.toDouble -> classes.indexOf(c).toDouble }.toMap
           h.view.mapValues(_.map(r => r.copy(level = remap(r.level)))).toMap: Map[String, Array[KHistRow]]
         }

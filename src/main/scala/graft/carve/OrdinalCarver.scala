@@ -30,7 +30,9 @@ object OrdinalCarver {
       escalate: Boolean = false,
       maxHistogramRows: Long = 5000000L,
       cv: Int = 0,
-      rescue: Boolean = false
+      rescue: Boolean = false,
+      sketchCardinalityThreshold: Long = 2000000L,
+      sketchRelativeError: Double = 0.0001
   )
 
   final case class OFitted(feature: FittedFeature, tauB: Double, tauC: Double, somersd: Double)
@@ -63,11 +65,12 @@ object OrdinalCarver {
     * (feature, value, target level). Map-side partial aggregation keeps the
     * shuffle at (features × cardinality × levels) rows.
     */
-  def histogramK(df: DataFrame, target: String, specs: Seq[FeatureSpec]): Map[String, Array[KHistRow]] = {
+  def histogramK(df: DataFrame, target: String, specs: Seq[FeatureSpec],
+      sketched: Map[String, Vector[Double]] = Map.empty): Map[String, Array[KHistRow]] = {
     val y = col(target).cast("double")
     val entries = specs.map { s =>
       if (s.kind == "quantitative")
-        struct(lit(s.name).as("fid"), col(s.name).cast("double").as("dv"),
+        struct(lit(s.name).as("fid"), BinaryCarver.quantValueExpr(s.name, sketched).as("dv"),
           lit(null).cast("string").as("sv"))
       else
         struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
@@ -100,14 +103,18 @@ object OrdinalCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config()
   ): Model = {
-    val trainHist = histogramK(train, target, specs)
-    val devHist = dev.map(d => histogramK(d, target, specs))
+    val sketched = BinaryCarver.sketchHighCardinality(train, specs,
+      BinaryCarver.Config(minFreq = config.minFreq,
+        sketchCardinalityThreshold = config.sketchCardinalityThreshold,
+        sketchRelativeError = config.sketchRelativeError))
+    val trainHist = histogramK(train, target, specs, sketched)
+    val devHist = dev.map(d => histogramK(d, target, specs, sketched))
     val foldHists =
       if (config.cv > 1) {
         import org.apache.spark.sql.functions.{pmod, xxhash64, lit => flit}
         val foldKey = pmod(xxhash64(specs.map(s => col(s.name)) :+ col(target): _*), flit(config.cv))
         val withFold = train.withColumn("__fold", foldKey)
-        (0 until config.cv).map(f => histogramK(withFold.filter(col("__fold") === f), target, specs))
+        (0 until config.cv).map(f => histogramK(withFold.filter(col("__fold") === f), target, specs, sketched))
       } else Nil
     fitFromHistograms(trainHist, devHist, target, specs, config, foldHists)
   }

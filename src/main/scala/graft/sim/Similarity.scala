@@ -113,4 +113,64 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("qid"), col("nid"), col("rank"), round(col("cos"), 4).as("cos_sim"))
   }
+
+  /** Embedding near-duplicate pairs — the corpus-vs-corpus self-join the
+    * 100 TB embedding-dedup path needs. Same shuffle discipline as the
+    * MinHash LSH: `bands` sign-signatures of `bitsPerBand` hyperplanes
+    * each; the band shuffle carries `(band, key, id)` only; intra-bucket
+    * pairs (capped at `maxBucket`) dedup across bands; vectors join back
+    * once per distinct pair for the exact cosine, filtered at `minCosine`.
+    * Recall rises with more bands (any single agreeing band emits the
+    * pair); measured against [[bruteTopK]] in tests.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosine: Double = 0.9,
+      bands: Int = 16,
+      bitsPerBand: Int = 8,
+      maxBucket: Int = 1000,
+      seed: Long = 42L
+  ): DataFrame = {
+    val dim = df.select(size(col(vecCol))).first().getInt(0)
+    val allPlanes = hyperplanes(bands * bitsPerBand, dim, seed)
+    val sigUdf = udf { (v: Seq[Double]) =>
+      val vec = v.toArray
+      Array.tabulate(bands) { b =>
+        var key = 0L
+        var i = 0
+        while (i < bitsPerBand) {
+          val p = allPlanes(b * bitsPerBand + i)
+          var s = 0.0
+          var j = 0
+          val n = math.min(p.length, vec.length)
+          while (j < n) { s += p(j) * vec(j); j += 1 }
+          if (s > 0) key |= (1L << i)
+          i += 1
+        }
+        key
+      }
+    }
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = vecs
+      .select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("band", "key")))
+    val buckets = banded
+      .groupBy(col("band"), col("key"))
+      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val pairArr = flatten(transform(col("ids"), (x, i) =>
+      transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
+        struct(x.as("id_a"), y.as("id_b")))))
+    val cand = buckets.select(explode(pairArr).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+    cand
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vb")), Seq("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_sim"))
+  }
 }

@@ -39,4 +39,25 @@ class SimilaritySpec extends SparkSuite {
     val v = Array.tabulate(8)(i => math.sin(i.toDouble))
     assert(Similarity.signBucket(v, p1) == Similarity.signBucket(v, p2))
   }
+
+  test("embeddingNearDupPairs: planted near-identical vectors all recovered") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val dups = e.filter($"vec_id" < 20)
+      .withColumn("vec_id", $"vec_id" + 1000L)
+      .withColumn("embedding",
+        transform($"embedding", (x, i) => x + (pmod($"vec_id" + i, lit(7)) - lit(3.0)) / lit(200.0)))
+    val all = e.unionByName(dups)
+    val pairs = Similarity.embeddingNearDupPairs(all, "vec_id", "embedding", minCosine = 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // every planted (v, v+1000) pair must be found (16 bands x 8 bits:
+    // near-identical vectors agree on at least one band w.h.p. -> assert all)
+    (0L until 20L).foreach { v =>
+      assert(pairs.contains((v, v + 1000L)) || pairs.contains((v + 1000L, v)), s"missing pair for $v")
+    }
+    // and each emitted pair really is >= the threshold (exact verify ran)
+    val verified = Similarity.embeddingNearDupPairs(all, "vec_id", "embedding", minCosine = 0.98)
+      .select("cos_sim").as[Double].collect()
+    verified.foreach(c => assert(c >= 0.98))
+  }
 }
