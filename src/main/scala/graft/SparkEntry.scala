@@ -481,6 +481,16 @@ object SparkEntry {
                 WHEN s_it = greatest(s_de, s_en, s_es, s_fr, s_it, s_pt) THEN 'it'
                 ELSE 'pt' END AS pred_lang
          FROM s""",
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         d AS (SELECT vec_id + 1000000 AS vec_id,
+                 list_transform(v, (x, i) -> x + (((vec_id + 1000000 + i - 1) % 7) - 3.0) / 200.0) AS v
+               FROM e WHERE vec_id < 30),
+         a AS (SELECT * FROM e UNION ALL SELECT * FROM d)
+         SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+                round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
+         FROM a x JOIN a y ON x.vec_id < y.vec_id
+         WHERE list_cosine_similarity(x.v, y.v) >= 0.98""",
     "q_select_kruskal" ->
       """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS v, CAST(doc_id AS DOUBLE) AS v2,
                     CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y FROM documents),
