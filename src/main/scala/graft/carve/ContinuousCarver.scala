@@ -50,6 +50,23 @@ object ContinuousCarver {
     val foldHists =
       if (config.cv > 1) BinaryCarver.histogramFolds(train, target, specs, config.cv, sketched)
       else Nil
+    // per-fold y histograms for the median rate: ONE job over all folds
+    val foldYHists: Seq[Map[String, Map[String, Array[(Double, Double)]]]] =
+      if (!withMedians || config.cv <= 1) Seq.fill(foldHists.length)(Map.empty)
+      else {
+        val y = col(target).cast("double")
+        val foldKey = pmod(xxhash64(specs.map(sp => col(sp.name)) :+ col(target): _*), lit(config.cv))
+        val entries = specs.map(sp => struct(lit(sp.name).as("fid"), labelExpr(sp, prep(sp.name)).as("lbl")))
+        val rows = train.withColumn("__fold", foldKey)
+          .select(col("__fold"), explode(array(entries: _*)).as("e"), y.as("y"))
+          .groupBy(col("__fold"), col("e.fid").as("fid"), col("e.lbl").as("lbl"), col("y"))
+          .agg(count(lit(1)).as("c")).collect()
+        (0 until config.cv).map { f =>
+          rows.filter(_.getLong(0) == f).groupBy(_.getString(1)).view.mapValues { rs =>
+            rs.groupBy(_.getString(2)).view.mapValues(_.map(r => (r.getDouble(3), r.getLong(4).toDouble)).toArray).toMap
+          }.toMap: Map[String, Map[String, Array[(Double, Double)]]]
+        }
+      }
     val devYHists: Map[String, Map[String, Array[(Double, Double)]]] =
       if (!withMedians) Map.empty
       else dev.map { d =>
@@ -81,7 +98,8 @@ object ContinuousCarver {
             yh.getOrElse(spec.name, Map.empty))
         }
         val devX = devHist.map(view(_, devYHists))
-        val foldXs = foldHists.map(view(_, Map.empty)).filter(_.labels.nonEmpty)
+        val foldXs = foldHists.zip(foldYHists).map { case (h, yh) => view(h, yh) }
+          .filter(_.labels.nonEmpty)
         searchContinuous(spec, p, sub, full, devX.filter(_.labels.nonEmpty), config, foldXs)
       }
     }, Duration.Inf)

@@ -119,6 +119,10 @@ class RobustnessSpec extends SparkSuite {
     // median of a bin differs from its mean on this skewed noise; sanity: the
     // first bin's median is within the bin's y range
     assert(rates.head >= 0.0 && rates.head <= 300.0)
+    // median + cv folds: per-fold medians feed the vetoes (one extra job)
+    val mcv = ContinuousCarver.fit(cdf, "yc", Seq(BinaryCarver.FeatureSpec("x", "quantitative")),
+      config = BinaryCarver.Config(sortBy = "kruskal", rateStrategy = "target_median", cv = 3))
+    assert(mcv.kept.nonEmpty)
     // weightedMedian matches numpy semantics on hand cases
     assert(Continuous.weightedMedian(Array((1.0, 1.0), (2.0, 1.0), (3.0, 1.0))) == 2.0)
     assert(Continuous.weightedMedian(Array((1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (10.0, 1.0))) == 2.5)
