@@ -234,9 +234,12 @@ object BinaryCarver {
       config: Config = Config()
   ): Model = {
     val sketched = sketchHighCardinality(train, specs, config)
-    val trainHist = histogram(train, target, specs, sketched)
+    // cv>1 shares ONE scan between the train histogram and all fold views
+    // (fold key = one more groupBy column; the total is the fold sum)
+    val (trainHist, foldHists) =
+      if (config.cv > 1) histogramWithFolds(train, target, specs, config.cv, sketched)
+      else (histogram(train, target, specs, sketched), Nil)
     val devHist = dev.map(d => histogram(d, target, specs, sketched))
-    val foldHists = if (config.cv > 1) histogramFolds(train, target, specs, config.cv, sketched) else Nil
     fitFromHistograms(trainHist, devHist, target, specs, config, foldHists)
   }
 
@@ -266,17 +269,67 @@ object BinaryCarver {
     }.toMap
   }
 
-  /** CV fold histograms in ONE extra cluster pass: a deterministic fold key
-    * `pmod(xxhash64(features..., y), cv)` is one more groupBy column —
+  /** Deterministic CV fold key (C4): `pmod(xxhash64(features..., y), cv)` —
     * rows with identical content share a fold, and the assignment is
-    * independent of partitioning/parallelism (C4).
+    * independent of partitioning/parallelism.
     */
-  def histogramFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int,
-      sketched: Map[String, Vector[Double]] = Map.empty): Seq[Map[String, Array[HistRow]]] = {
-    val foldKey = pmod(xxhash64(specs.map(s => col(s.name)) :+ col(target): _*), lit(cv))
-    val withFold = df.withColumn("__fold", foldKey)
-    (0 until cv).map(f => histogram(withFold.filter(col("__fold") === f), target, specs, sketched))
+  def foldKeyExpr(specs: Seq[FeatureSpec], target: String, cv: Int): Column =
+    pmod(xxhash64(specs.map(s => col(s.name)) :+ col(target): _*), lit(cv))
+
+  /** Train histogram + all `cv` fold histograms from ONE cluster pass: the
+    * fold key is one more groupBy column, each held-out fold's view is the
+    * rows carrying its key, and the full-train histogram is the sum over
+    * folds (no second scan — `base_carver.py:607-628` semantics at 1× the
+    * IO of a plain fit).
+    */
+  def histogramWithFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int,
+      sketched: Map[String, Vector[Double]] = Map.empty)
+      : (Map[String, Array[HistRow]], Seq[Map[String, Array[HistRow]]]) = {
+    val y = col(target).cast("double")
+    val entries = specs.map { s =>
+      if (s.kind == "quantitative")
+        struct(lit(s.name).as("fid"), quantValueExpr(s.name, sketched).as("dv"),
+          lit(null).cast("string").as("sv"))
+      else
+        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
+          categoricalStringExpr(col(s.name)).as("sv"))
+    }
+    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"),
+      foldKeyExpr(specs, target, cv).as("__fold"))
+    val agg = long
+      .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"), col("__fold"))
+      .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("sy"))
+      .collect()
+    val folds = Vector.fill(cv)(mutable.Map.empty[String, mutable.ArrayBuffer[HistRow]])
+    // total accumulator keyed by (fid, value-bits, sv): NaN-safe via doubleToLongBits
+    val total = mutable.LinkedHashMap.empty[(String, Long, String), (Boolean, Long, Double)]
+    agg.foreach { r =>
+      val fid = r.getString(0)
+      val dvNull = r.isNullAt(1)
+      val svNull = r.isNullAt(2)
+      val dv = if (dvNull) Double.NaN else r.getDouble(1)
+      val sv = if (svNull) null else r.getString(2)
+      val f = r.getLong(3).toInt
+      val cnt = r.getLong(4)
+      val sy = if (r.isNullAt(5)) 0.0 else r.getDouble(5)
+      folds(f).getOrElseUpdate(fid, mutable.ArrayBuffer.empty) += HistRow(dv, sv, dvNull && svNull, cnt, sy)
+      val key = (fid, java.lang.Double.doubleToLongBits(dv), sv)
+      val (isNull, c0, s0) = total.getOrElse(key, (dvNull && svNull, 0L, 0.0))
+      total(key) = (isNull, c0 + cnt, s0 + sy)
+    }
+    val totalByFid = mutable.Map.empty[String, mutable.ArrayBuffer[HistRow]]
+    total.foreach { case ((fid, dvBits, sv), (isNull, c, s)) =>
+      totalByFid.getOrElseUpdate(fid, mutable.ArrayBuffer.empty) +=
+        HistRow(java.lang.Double.longBitsToDouble(dvBits), sv, isNull, c, s)
+    }
+    (totalByFid.view.mapValues(_.toArray).toMap,
+      folds.map(_.view.mapValues(_.toArray).toMap))
   }
+
+  /** Fold histograms only (single-pass under the hood). */
+  def histogramFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int,
+      sketched: Map[String, Vector[Double]] = Map.empty): Seq[Map[String, Array[HistRow]]] =
+    histogramWithFolds(df, target, specs, cv, sketched)._2
 
   /** Driver-only fit from collected histograms — the resumable second
     * stage (E6): the histogram is the only cluster product, so a

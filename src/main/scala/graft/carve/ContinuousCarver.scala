@@ -29,9 +29,12 @@ object ContinuousCarver {
     val halfMinFreq = config.minFreq / 2.0
     val q = math.rint(1.0 / halfMinFreq).toInt
 
-    // ---- pass 1: shared histogram → prebins (quantile edges, merges, OTHER)
+    // ---- pass 1: shared histogram → prebins (quantile edges, merges, OTHER).
+    // cv>1 folds ride the SAME scan (fold key as one more groupBy column).
     val sketched = BinaryCarver.sketchHighCardinality(train, specs, config)
-    val trainHist = BinaryCarver.histogram(train, target, specs, sketched)
+    val (trainHist, foldHists) =
+      if (config.cv > 1) BinaryCarver.histogramWithFolds(train, target, specs, config.cv, sketched)
+      else (BinaryCarver.histogram(train, target, specs, sketched), Nil)
     def totalOf(name: String): Long = trainHist(name).map(_.count).sum
     val prep: Map[String, Prep] = specs.map { s =>
       s.name -> (if (s.kind == "quantitative")
@@ -46,10 +49,6 @@ object ContinuousCarver {
 
     // ---- dev pass: (n, Σy) per modality is all the vetoes need
     val devHist = dev.map(d => BinaryCarver.histogram(d, target, specs, sketched))
-    // CV folds (C4): deterministic fold key, one histogram per held-out fold
-    val foldHists =
-      if (config.cv > 1) BinaryCarver.histogramFolds(train, target, specs, config.cv, sketched)
-      else Nil
     // per-fold y histograms for the median rate: ONE job over all folds
     val foldYHists: Seq[Map[String, Map[String, Array[(Double, Double)]]]] =
       if (!withMedians || config.cv <= 1) Seq.fill(foldHists.length)(Map.empty)

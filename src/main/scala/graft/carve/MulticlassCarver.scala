@@ -92,6 +92,58 @@ object MulticlassCarver {
     (byFid.view.mapValues(_.toArray).toMap, classes)
   }
 
+  /** Train class-histogram + all `cv` fold class-histograms from ONE pass
+    * (fold key as one more groupBy column; total = fold sum; class order is
+    * the canonical sorted order of the FULL data so fold levels are already
+    * in the train class space). The single-scan C4 shape.
+    */
+  def histogramMWithFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int,
+      sketched: Map[String, Vector[Double]] = Map.empty)
+      : (Map[String, Array[KHistRow]], Vector[String], Seq[Map[String, Array[KHistRow]]]) = {
+    val y = col(target).cast("string")
+    val entries = specs.map { s =>
+      if (s.kind == "quantitative")
+        struct(lit(s.name).as("fid"), BinaryCarver.quantValueExpr(s.name, sketched).as("dv"),
+          lit(null).cast("string").as("sv"))
+      else
+        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
+          BinaryCarver.categoricalStringExpr(col(s.name)).as("sv"))
+    }
+    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"),
+      BinaryCarver.foldKeyExpr(specs, target, cv).as("__fold"))
+    val agg = long
+      .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"),
+        col("__y"), col("__fold"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val classes = agg.map(_.getString(3)).distinct.sorted.toVector
+    val classIdx = classes.zipWithIndex.toMap
+    val folds = Vector.fill(cv)(mutable.Map.empty[String, mutable.ArrayBuffer[KHistRow]])
+    val total = mutable.LinkedHashMap.empty[(String, Long, String, Int), (Boolean, Long)]
+    agg.foreach { r =>
+      val fid = r.getString(0)
+      val dvNull = r.isNullAt(1)
+      val svNull = r.isNullAt(2)
+      val dv = if (dvNull) Double.NaN else r.getDouble(1)
+      val sv = if (svNull) null else r.getString(2)
+      val ci = classIdx(r.getString(3))
+      val f = r.getLong(4).toInt
+      val cnt = r.getLong(5)
+      folds(f).getOrElseUpdate(fid, mutable.ArrayBuffer.empty) +=
+        KHistRow(dv, sv, dvNull && svNull, ci.toDouble, cnt)
+      val key = (fid, java.lang.Double.doubleToLongBits(dv), sv, ci)
+      val (isNull, c0) = total.getOrElse(key, (dvNull && svNull, 0L))
+      total(key) = (isNull, c0 + cnt)
+    }
+    val totalByFid = mutable.Map.empty[String, mutable.ArrayBuffer[KHistRow]]
+    total.foreach { case ((fid, dvBits, sv, ci), (isNull, c)) =>
+      totalByFid.getOrElseUpdate(fid, mutable.ArrayBuffer.empty) +=
+        KHistRow(java.lang.Double.longBitsToDouble(dvBits), sv, isNull, ci.toDouble, c)
+    }
+    (totalByFid.view.mapValues(_.toArray).toMap, classes,
+      folds.map(_.view.mapValues(_.toArray).toMap))
+  }
+
   def fit(
       train: DataFrame,
       target: String,
@@ -103,7 +155,11 @@ object MulticlassCarver {
       BinaryCarver.Config(minFreq = config.minFreq,
         sketchCardinalityThreshold = config.sketchCardinalityThreshold,
         sketchRelativeError = config.sketchRelativeError))
-    val (trainHist, classes) = histogramM(train, target, specs, sketched)
+    // one scan for the train histogram AND (when cv>1) every fold view —
+    // histogramMWithFolds levels are already in the full-data class space
+    val (trainHist, classes, foldHists) =
+      if (config.cv > 1) histogramMWithFolds(train, target, specs, config.cv, sketched)
+      else { val (h, c) = histogramM(train, target, specs, sketched); (h, c, Nil) }
     require(classes.length > 2,
       s"[MulticlassCarver] y has ${classes.length} classes; use BinaryCarver for <=2")
     // dev classes must map into the train class space (unseen dev classes raise
@@ -115,16 +171,6 @@ object MulticlassCarver {
       val remap = devClasses.zipWithIndex.map { case (c, i) => i.toDouble -> classes.indexOf(c).toDouble }.toMap
       h.view.mapValues(_.map(r => r.copy(level = remap(r.level)))).toMap
     }
-    val foldHists =
-      if (config.cv > 1) {
-        val foldKey = pmod(xxhash64(specs.map(s => col(s.name)) :+ col(target): _*), lit(config.cv))
-        val withFold = train.withColumn("__fold", foldKey)
-        (0 until config.cv).map { f =>
-          val (h, foldClasses) = histogramM(withFold.filter(col("__fold") === f), target, specs, sketched)
-          val remap = foldClasses.zipWithIndex.map { case (c, i) => i.toDouble -> classes.indexOf(c).toDouble }.toMap
-          h.view.mapValues(_.map(r => r.copy(level = remap(r.level)))).toMap: Map[String, Array[KHistRow]]
-        }
-      } else Nil
     fitFromHistograms(trainHist, devHist, target, specs, classes, config, foldHists)
   }
 
@@ -340,6 +386,30 @@ object OneVsRestCarver {
       }
   }
 
+  /** Binary projection of a class-histogram: for class index `ci`, each
+    * (feature, value) row gets count = Σ over classes, sumY = count of `ci`
+    * — the `y == class` crosstab column sums, no second scan
+    * (`one_vs_rest_carver.py:20-155` fits every class from the same data).
+    */
+  private[carve] def binarize(kHist: Map[String, Array[KHistRow]], ci: Double)
+      : Map[String, Array[BinaryCarver.HistRow]] =
+    kHist.map { case (fid, rows) =>
+      val acc = mutable.LinkedHashMap.empty[(Long, String), (Boolean, Long, Double)]
+      rows.foreach { r =>
+        val key = (java.lang.Double.doubleToLongBits(r.dv), r.sv)
+        val (isNull, c0, s0) = acc.getOrElse(key, (r.isNull, 0L, 0.0))
+        acc(key) = (isNull, c0 + r.count, s0 + (if (r.level == ci) r.count.toDouble else 0.0))
+      }
+      fid -> acc.map { case ((dvBits, sv), (isNull, c, s)) =>
+        BinaryCarver.HistRow(java.lang.Double.longBitsToDouble(dvBits), sv, isNull, c, s)
+      }.toArray
+    }
+
+  /** Single-pass fit: ONE shared sketch pass (target-independent) + ONE
+    * class-histogram scan (plus one per fold-free dev) feed all K−1 binary
+    * fits — the per-class crosstabs are driver-side column-sum projections
+    * of the same aggregate, so fit job count is independent of K.
+    */
   def fit(
       train: DataFrame,
       target: String,
@@ -347,14 +417,29 @@ object OneVsRestCarver {
       dev: Option[DataFrame] = None,
       config: BinaryCarver.Config = BinaryCarver.Config()
   ): Model = {
-    val classes = train.select(col(target).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted.toVector
+    val sketched = BinaryCarver.sketchHighCardinality(train, specs, config)
+    // the class-histogram scan also yields the class set: no distinct() pass.
+    // cv>1 folds share the same scan (fold key = one more groupBy column);
+    // the fold assignment hashes the raw class label (deterministic, shared
+    // across classes) rather than each per-class binarized target.
+    val (kHist, classes, kFolds) =
+      if (config.cv > 1) MulticlassCarver.histogramMWithFolds(train, target, specs, config.cv, sketched)
+      else { val (h, c) = MulticlassCarver.histogramM(train, target, specs, sketched); (h, c, Nil) }
     require(classes.length > 2, s"[OneVsRestCarver] y has ${classes.length} classes; use BinaryCarver for <=2")
     val carved = classes.drop(1) // reference drops the first sorted class
+    val devK = dev.map { d =>
+      val (h, devClasses) = MulticlassCarver.histogramM(d, target, specs, sketched)
+      (h, devClasses)
+    }
     val perClass = carved.map { yClass =>
-      val binTrain = train.withColumn("__ovr_y", (col(target).cast("string") === yClass).cast("int"))
-      val binDev = dev.map(_.withColumn("__ovr_y", (col(target).cast("string") === yClass).cast("int")))
-      yClass -> BinaryCarver.fit(binTrain, "__ovr_y", specs, binDev, config)
+      val ci = classes.indexOf(yClass).toDouble
+      val trainHist = binarize(kHist, ci)
+      val devHist = devK.map { case (h, devClasses) =>
+        val di = devClasses.indexOf(yClass).toDouble // -1 => class absent, all sumY 0
+        binarize(h, di)
+      }
+      val foldHists = kFolds.map(binarize(_, ci))
+      yClass -> BinaryCarver.fitFromHistograms(trainHist, devHist, "__ovr_y", specs, config, foldHists)
     }.toMap
     Model(target, carved, perClass)
   }

@@ -96,6 +96,55 @@ object OrdinalCarver {
     byFid.view.mapValues(_.toArray).toMap
   }
 
+  /** Train K-histogram + all `cv` fold K-histograms from ONE cluster pass
+    * (fold key as one more groupBy column; total = sum over folds — the
+    * single-scan C4 shape, see [[BinaryCarver.histogramWithFolds]]).
+    */
+  def histogramKWithFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int,
+      sketched: Map[String, Vector[Double]] = Map.empty)
+      : (Map[String, Array[KHistRow]], Seq[Map[String, Array[KHistRow]]]) = {
+    val y = col(target).cast("double")
+    val entries = specs.map { s =>
+      if (s.kind == "quantitative")
+        struct(lit(s.name).as("fid"), BinaryCarver.quantValueExpr(s.name, sketched).as("dv"),
+          lit(null).cast("string").as("sv"))
+      else
+        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
+          BinaryCarver.categoricalStringExpr(col(s.name)).as("sv"))
+    }
+    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"),
+      BinaryCarver.foldKeyExpr(specs, target, cv).as("__fold"))
+    val agg = long
+      .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"),
+        col("__y"), col("__fold"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val folds = Vector.fill(cv)(mutable.Map.empty[String, mutable.ArrayBuffer[KHistRow]])
+    val total = mutable.LinkedHashMap.empty[(String, Long, String, Double), (Boolean, Long)]
+    agg.foreach { r =>
+      val fid = r.getString(0)
+      val dvNull = r.isNullAt(1)
+      val svNull = r.isNullAt(2)
+      val dv = if (dvNull) Double.NaN else r.getDouble(1)
+      val sv = if (svNull) null else r.getString(2)
+      val level = r.getDouble(3)
+      val f = r.getLong(4).toInt
+      val cnt = r.getLong(5)
+      folds(f).getOrElseUpdate(fid, mutable.ArrayBuffer.empty) +=
+        KHistRow(dv, sv, dvNull && svNull, level, cnt)
+      val key = (fid, java.lang.Double.doubleToLongBits(dv), sv, level)
+      val (isNull, c0) = total.getOrElse(key, (dvNull && svNull, 0L))
+      total(key) = (isNull, c0 + cnt)
+    }
+    val totalByFid = mutable.Map.empty[String, mutable.ArrayBuffer[KHistRow]]
+    total.foreach { case ((fid, dvBits, sv, level), (isNull, c)) =>
+      totalByFid.getOrElseUpdate(fid, mutable.ArrayBuffer.empty) +=
+        KHistRow(java.lang.Double.longBitsToDouble(dvBits), sv, isNull, level, c)
+    }
+    (totalByFid.view.mapValues(_.toArray).toMap,
+      folds.map(_.view.mapValues(_.toArray).toMap))
+  }
+
   def fit(
       train: DataFrame,
       target: String,
@@ -107,15 +156,10 @@ object OrdinalCarver {
       BinaryCarver.Config(minFreq = config.minFreq,
         sketchCardinalityThreshold = config.sketchCardinalityThreshold,
         sketchRelativeError = config.sketchRelativeError))
-    val trainHist = histogramK(train, target, specs, sketched)
+    val (trainHist, foldHists) =
+      if (config.cv > 1) histogramKWithFolds(train, target, specs, config.cv, sketched)
+      else (histogramK(train, target, specs, sketched), Nil)
     val devHist = dev.map(d => histogramK(d, target, specs, sketched))
-    val foldHists =
-      if (config.cv > 1) {
-        import org.apache.spark.sql.functions.{pmod, xxhash64, lit => flit}
-        val foldKey = pmod(xxhash64(specs.map(s => col(s.name)) :+ col(target): _*), flit(config.cv))
-        val withFold = train.withColumn("__fold", foldKey)
-        (0 until config.cv).map(f => histogramK(withFold.filter(col("__fold") === f), target, specs, sketched))
-      } else Nil
     fitFromHistograms(trainHist, devHist, target, specs, config, foldHists)
   }
 

@@ -98,7 +98,8 @@ object Similarity {
   ): DataFrame = {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(nBits, dim, seed)
-    val bucketUdf = udf((v: Seq[Double]) => signBucket(v.toArray, planes))
+    // Array[Double] parameter: primitive-array codec, no per-element boxing
+    val bucketUdf = udf((v: Array[Double]) => signBucket(v, planes))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
       .withColumn("bucket", bucketUdf(col("nvec")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
@@ -135,8 +136,7 @@ object Similarity {
   ): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val allPlanes = hyperplanes(bands * bitsPerBand, dim, seed)
-    val sigUdf = udf { (v: Seq[Double]) =>
-      val vec = v.toArray
+    val sigUdf = udf { (vec: Array[Double]) =>
       Array.tabulate(bands) { b =>
         var key = 0L
         var i = 0

@@ -41,14 +41,26 @@ class ModelSurfaceSpec extends SparkSuite {
   }
 
   test("groupBins: merging two bins renumbers and recombines correctly") {
-    val f = model.kept.find(_.name == "x").get
-    assume(f.nBins >= 3)
-    val merged = model.groupBins("x", 0, 1)
+    // three target-rate plateaus (0, 1/2, 1) force a >=3-bin optimum —
+    // the shared step-function fixture carves to exactly 2 bins and would
+    // leave this path untested
+    val df3 = (0 until 3000).map { i =>
+      val x = (i % 100).toDouble
+      val y = if (x > 66) 1 else if (x > 33) i % 2 else 0
+      (x, y)
+    }.toDF("x", "y")
+    // cramerv: Tschuprow's sqrt(r-1) denominator would still prefer the
+    // 2-bin merge of the 0- and 1/2-rate plateaus
+    val model3 = BinaryCarver.fit(df3, "y", Seq(BinaryCarver.FeatureSpec("x", "quantitative")),
+      config = BinaryCarver.Config(sortBy = "cramerv"))
+    val f = model3.kept.find(_.name == "x").get
+    assert(f.nBins >= 3, s"fixture must carve to >=3 bins, got ${f.nBins}")
+    val merged = model3.groupBins("x", 0, 1)
     val mf = merged.kept.find(_.name == "x").get
     assert(mf.nBins == f.nBins - 1)
     assert(mf.rates(0).count == f.rates(0).count + f.rates(1).count)
     // transform agrees: old bins 0 and 1 both map to new bin 0
-    val out = merged.transform(df, keepOriginal = true)
+    val out = merged.transform(df3, keepOriginal = true)
     val bins = out.select("x_bin").distinct().collect().map(_.getInt(0)).sorted
     assert(bins.toVector == (0 until mf.nBins).toVector, bins.mkString(","))
     // populations match the merged rates

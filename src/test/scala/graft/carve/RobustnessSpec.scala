@@ -51,6 +51,27 @@ class RobustnessSpec extends SparkSuite {
     assert(m0.kept.head.prebinToBin == m5.kept.head.prebinToBin)
   }
 
+  test("cv folds are single-pass: a cv=5 fit launches no more cluster jobs than cv=0") {
+    // the fold key is one more groupBy column in the ONE histogram scan —
+    // a cv=5 fit must not scan the table per fold (round-2 scale-killer)
+    def countJobs(body: => Unit): Int = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(300) } // let queued listener events drain
+      finally spark.sparkContext.removeSparkListener(listener)
+      counter.get()
+    }
+    val specs = Seq(BinaryCarver.FeatureSpec("x", "quantitative"))
+    val plain = countJobs { BinaryCarver.fit(df, "y", specs); () }
+    val folded = countJobs { BinaryCarver.fit(df, "y", specs, config = BinaryCarver.Config(cv = 5)); () }
+    assert(folded <= plain + 1, s"cv=5 fit ran $folded jobs vs $plain without cv")
+  }
+
   test("cv folds veto an unstable split that train+dev alone accept") {
     // y flips sign across fold-correlated subgroups -> per-fold ordering differs
     val rows = (0 until 3000).map { i =>
