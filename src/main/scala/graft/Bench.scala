@@ -42,7 +42,11 @@ object Bench {
     s
   }
 
-  /** fit+transform over the page table; returns processed row count. */
+  /** fit+transform over the page table; returns processed row count. The
+    * transform leg aggregates the produced bin codes — a bare `count()`
+    * lets Catalyst prune the whole projection (and its window shuffles)
+    * down to a parquet row count, which would measure nothing.
+    */
   def pipelineOnce(spark: SparkSession, table: String, asOf: Timestamp): Long = {
     // fresh checkpoint namespace per run: throughput must measure the work
     val ckpt = java.nio.file.Paths.get(table, "checkpoints")
@@ -50,7 +54,12 @@ object Bench {
       java.nio.file.Files.list(ckpt).forEach(p => java.nio.file.Files.delete(p))
     }
     val (model, _) = PagePipeline.fitCheckpointed(spark, table, asOf)
-    PagePipeline.transform(spark, table, model).count()
+    val out = PagePipeline.transform(spark, table, model)
+    val binSums = model.kept.map(f => org.apache.spark.sql.functions.sum(
+      org.apache.spark.sql.functions.col(f.name).cast("long")).as(s"${f.name}_sum"))
+    val row = out.agg(org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("rows"), binSums: _*).head()
+    row.getLong(0)
   }
 
   /** Forked measurement: warm run (JIT+codegen) on the small shared warm

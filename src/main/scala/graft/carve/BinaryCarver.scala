@@ -243,29 +243,38 @@ object BinaryCarver {
     fitFromHistograms(trainHist, devHist, target, specs, config, foldHists)
   }
 
-  /** Sketch path for high-cardinality quantitative columns: one
-    * `approx_count_distinct` pass finds the offenders, then each gets its
-    * `approxQuantile` edges (Greenwald-Khanna sketch, cluster-side). The
-    * histogram pass substitutes such a column with its bucket's
-    * representative value (the bucket's upper edge — via the codegen'd
-    * binary-search bucketize), so the collected histogram carries at most
-    * q+1 distinct values per sketched feature and the downstream driver
-    * prebin (findQuantiles over the weighted representatives) reproduces
-    * the sketched edges. Returns feature -> ascending distinct edges.
+  /** Sketch path for high-cardinality quantitative columns, in ONE cluster
+    * job: the same aggregation computes every column's
+    * `approx_count_distinct` (the gate) AND its `percentile_approx` edges
+    * (the same Greenwald-Khanna QuantileSummaries sketch that backs
+    * `approxQuantile`, as an aggregate expression) — no second scan of the
+    * (possibly expensive) scan-side projection. The histogram pass
+    * substitutes a gated column with its bucket's representative value
+    * (the bucket's upper edge — via the codegen'd binary-search
+    * bucketize), so the collected histogram carries at most q+1 distinct
+    * values per sketched feature and the downstream driver prebin
+    * (findQuantiles over the weighted representatives) reproduces the
+    * sketched edges. Returns feature -> ascending distinct edges.
     */
   def sketchHighCardinality(df: DataFrame, specs: Seq[FeatureSpec], config: Config): Map[String, Vector[Double]] = {
     if (config.sketchCardinalityThreshold <= 0) return Map.empty
     val quants = specs.filter(_.kind == "quantitative")
     if (quants.isEmpty) return Map.empty
-    val aggs = quants.map(s => approx_count_distinct(col(s.name)).as(s.name))
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val big = quants.filter(s => row.getAs[Long](s.name) > config.sketchCardinalityThreshold)
-    if (big.isEmpty) return Map.empty
     val q = math.rint(2.0 / config.minFreq).toInt // = round(1/halfMinFreq)
     val probs = (1 until q).map(_.toDouble / q).toArray
-    big.map { s =>
-      s.name -> df.stat.approxQuantile(s.name, probs, config.sketchRelativeError)
-        .filterNot(_.isNaN).distinct.sorted.toVector
+    val accuracy = math.min(math.rint(1.0 / config.sketchRelativeError), 100000.0).toInt
+    val aggs = quants.flatMap { s =>
+      Seq(
+        approx_count_distinct(col(s.name)).as(s"${s.name}__acd"),
+        percentile_approx(col(s.name).cast("double"), typedlit(probs), lit(accuracy))
+          .as(s"${s.name}__pq"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    quants.flatMap { s =>
+      if (row.getAs[Long](s"${s.name}__acd") <= config.sketchCardinalityThreshold) None
+      else Option(row.getSeq[Double](row.fieldIndex(s"${s.name}__pq"))).map { edges =>
+        s.name -> edges.filterNot(_.isNaN).distinct.sorted.toVector
+      }
     }.toMap
   }
 

@@ -139,18 +139,52 @@ object ContinuousCarver {
       .select(explode(array(entries: _*)).as("e"), y.as("y"))
       .select(col("e.fid").as("fid"), col("e.lbl").as("lbl"), col("y"))
 
-    // per-(feature, y): counts over all rows and over non-NaN-modality rows
+    // per-(feature, y): counts over all rows and over non-NaN-modality rows.
+    // Persisted: it is cardinality-sized (distinct-y × features), and three
+    // downstream actions (ties, stats join, bucket totals) would otherwise
+    // each replay the full table scan + explode.
     val yh = long.groupBy(col("fid"), col("y"))
       .agg(
         count(lit(1)).as("ca"),
         sum(when(col("lbl") =!= NanLabel, 1L).otherwise(0L)).as("cs")
       )
-    val w = Window.partitionBy(col("fid")).orderBy(col("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Exclusive cumulative counts over y-order within each feature, WITHOUT
+    // a per-feature single-task window (a web-scale continuous target has
+    // ~one distinct y per row): range-bucket y by approximate global splits
+    // (exactness unaffected — buckets only partition the cumsum), collect
+    // the small per-(fid, bucket) totals for driver-side exclusive offsets,
+    // and run the within-bucket window partitioned by (fid, bucket) — the
+    // same shape proven in prebin/Quantiles.exactEdgesDF.
+    val ySplits = yh.stat.approxQuantile("y", (1 until 32).map(_ / 32.0).toArray, 0.05)
+      .filterNot(_.isNaN).distinct.sorted
+    val bucketCol = graft.transform.BinarySearchBucketize.column(
+      col("y"), ySplits.toVector, ySplits.indices.toVector :+ ySplits.length, nanBin = -1)
+    val yhB = yh.withColumn("bucket", bucketCol)
+    val perBucket = yhB.groupBy(col("fid"), col("bucket"))
+      .agg(sum(col("ca")).as("na"), sum(col("cs")).as("ns"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (fid, rows) =>
+        val sorted = rows.sortBy(_.getInt(1))
+        val offs = sorted.scanLeft((0, 0L, 0L)) { case ((_, a, s), r) =>
+          (r.getInt(1), a + r.getLong(2), s + r.getLong(3))
+        }.init.zip(sorted).map { case ((_, offA, offS), r) => r.getInt(1) -> (offA, offS) }
+        fid -> offs.toMap
+      }
+    def offsetExpr(pick: ((Long, Long)) => Long): Column = {
+      val entries = perBucket.toSeq.flatMap { case (fid, offs) =>
+        offs.toSeq.map { case (b, o) => s"$fid#$b" -> pick(o) }
+      }.toMap
+      if (entries.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(entries), concat_ws("#", col("fid"), col("bucket"))), lit(0L))
+    }
+    val w = Window.partitionBy(col("fid"), col("bucket")).orderBy(col("y"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val ranked = yh
-      .withColumn("cuma", coalesce(sum(col("ca")).over(w), lit(0L)))
-      .withColumn("cums", coalesce(sum(col("cs")).over(
-        Window.partitionBy(col("fid")).orderBy(col("y")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val ranked = yhB
+      .withColumn("cuma", coalesce(sum(col("ca")).over(w), lit(0L)) + offsetExpr(_._1))
+      .withColumn("cums", coalesce(sum(col("cs")).over(w), lit(0L)) + offsetExpr(_._2))
       .withColumn("rank_all", col("cuma") + (col("ca") + 1) / 2.0)
       .withColumn("rank_sub", col("cums") + (col("cs") + 1) / 2.0)
 
@@ -177,6 +211,7 @@ object ContinuousCarver {
         sum(col("y")).as("sy")
       )
       .collect()
+    yh.unpersist()
 
     val byFid = mutable.Map.empty[String, mutable.ArrayBuffer[(String, Double, Double, Double, Double)]]
     stats.foreach { r =>

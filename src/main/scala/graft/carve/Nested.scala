@@ -26,19 +26,31 @@ object Nested {
       rawToBucket: Map[String, String],
       buckets: Vector[String] // surviving buckets, target-rate order when y given
   ) {
-    /** Rolled-up column: raw finest value -> bucket; unseen -> __OTHER__;
-      * null passes through (the carver's NaN machinery handles it).
+    /** Rolled-up column: raw finest value -> bucket; null passes through
+      * (the carver's NaN machinery handles it). An UNSEEN finest value
+      * walks the row's parent columns nearest→farthest to the first
+      * ancestor that is a surviving bucket leader, falling back to
+      * `__OTHER__` (X4, `base_discretizer.py:676-712`) — `usableParents`
+      * restricts the walk to parent columns present in the frame.
       */
-    def transformCol: Column = {
+    def transformCol(usableParents: Seq[String] = parents): Column = {
       val c = col(column).cast("string")
+      val bucketSet = buckets.filterNot(_ == BinaryCarver.OtherLabel)
+      val parentHits = usableParents.map { p =>
+        val pc = col(p).cast("string")
+        when(pc.isInCollection(bucketSet), pc)
+      }
+      val unseen = coalesce(parentHits :+ lit(BinaryCarver.OtherLabel): _*)
       val mapped =
-        if (rawToBucket.isEmpty) lit(BinaryCarver.OtherLabel)
-        else coalesce(element_at(typedlit(rawToBucket), c), lit(BinaryCarver.OtherLabel))
+        if (rawToBucket.isEmpty) unseen
+        else coalesce(element_at(typedlit(rawToBucket), c), unseen)
       when(c.isNull, lit(null).cast("string")).otherwise(mapped)
     }
 
-    def transform(df: DataFrame, as: String = null): DataFrame =
-      df.withColumn(if (as == null) column else as, transformCol)
+    def transform(df: DataFrame, as: String = null): DataFrame = {
+      val present = parents.filter(df.columns.contains)
+      df.withColumn(if (as == null) column else as, transformCol(present))
+    }
   }
 
   /** Fits the rollup for one nested hierarchy. `columns` is finest-first

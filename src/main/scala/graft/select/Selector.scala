@@ -41,8 +41,30 @@ object Selector {
       // outlier gates (F3, `quantitative_measures.py:290-330`): max allowed
       // outlier rate per quantitative feature; None disables the gate
       maxZscoreOutlierRate: Option[Double] = None,
-      maxIqrOutlierRate: Option[Double] = None
+      maxIqrOutlierRate: Option[Double] = None,
+      // F5: ONE total budget apportioned across kinds by largest-remainder
+      // (`base_selector.py:395-411`); None keeps the per-kind nBest cap
+      totalBudget: Option[Int] = None
   )
+
+  /** Largest-remainder apportionment of a total selection budget across
+    * feature kinds (`base_selector.py:split_budget`): floor of the
+    * proportional share per kind, leftover seats to the largest fractional
+    * parts. A budget >= the feature count means no cap.
+    */
+  def splitBudget(nBest: Int, counts: Seq[(String, Int)]): Map[String, Int] = {
+    val total = counts.map(_._2).sum
+    if (total == 0 || nBest >= total) return counts.toMap
+    val exact = counts.map { case (k, c) => k -> (nBest.toDouble * c / total) }
+    val floor = exact.map { case (k, e) => k -> e.toInt }.toMap
+    val leftover = nBest - floor.values.sum
+    // ties on the fractional part resolve by input order (Python's stable
+    // sort over the insertion-ordered dict — quantitatives first)
+    val bump = exact.zipWithIndex
+      .sortBy { case ((k, e), i) => (-(e - floor(k)), i) }
+      .take(leftover).map(_._1._1).toSet
+    floor.map { case (k, v) => k -> (if (bump(k)) v + 1 else v) }
+  }
 
   /** One pass: per-feature nan fraction, mode frequency, cardinality, and
     * (for qualitative features vs a binary target) the chi²-derived
@@ -354,8 +376,114 @@ object Selector {
       quants: Seq[String],
       quals: Seq[String],
       config: Config = Config()
+  ): Selection = selectWith(df, target, quants, quals, config, Map.empty)
+
+  /** Task presets (F6): the reference's selector classes pick the ranking
+    * measure per (task, feature kind) — `classification_selector.py:7-17`,
+    * `regression_selector.py:7-17`, `ordinal_selector.py`:
+    *
+    *  - classification (qualitative target): quantitatives ranked by
+    *    Kruskal-η² (target as groups), qualitatives by Tschuprow's T;
+    *  - regression / ordinal (numeric target): quantitatives by |Spearman|,
+    *    qualitatives by REVERSED Kruskal-η² (feature modalities as groups,
+    *    the target as the ranked variable).
+    */
+  def selectTask(
+      df: DataFrame,
+      target: String,
+      quants: Seq[String],
+      quals: Seq[String],
+      task: String,
+      config: Config = Config()
   ): Selection = {
-    val metrics = (quantitativeMetrics(df, target, quants) ++ qualitativeMetrics(df, target, quals)).values.toVector
+    val overrides: Map[String, Double] = task match {
+      case "classification" =>
+        kruskalByFeature(df, target, quants).view.mapValues(_.etaSq).toMap ++
+          tschuprowtByFeature(df, target, quals)
+      case "regression" | "ordinal" =>
+        spearmanByFeature(df, target, quants).view.mapValues(math.abs(_)).toMap ++
+          kruskalReversedByFeature(df, target, quals).view.mapValues(_.etaSq).toMap
+      case other => throw new IllegalArgumentException(
+        s"unknown task '$other' (classification | regression | ordinal)")
+    }
+    selectWith(df, target, quants, quals, config, overrides)
+  }
+
+  /** Tschuprow's T per qualitative feature vs the target (classification
+    * ranking measure) — same one-pass histogram as qualitativeMetrics.
+    */
+  def tschuprowtByFeature(df: DataFrame, target: String, quals: Seq[String]): Map[String, Double] = {
+    if (quals.isEmpty) return Map.empty
+    val specs = quals.map(n => BinaryCarver.FeatureSpec(n, "categorical"))
+    val hist = BinaryCarver.histogram(df, target, specs)
+    quals.map { name =>
+      val nonNull = hist.getOrElse(name, Array.empty).filterNot(_.isNull)
+      val obs = nonNull.map(r => Array(r.count - r.sumY, r.sumY))
+      val t =
+        if (obs.length < 2) 0.0
+        else {
+          val chi2 = Stats.pearsonChi2(obs, guardZeroExpected = true)
+          Stats.cramervTschuprowtUnrounded(chi2, nonNull.map(_.count).sum.toDouble,
+            obs.length.toDouble, 2.0)._2
+        }
+      name -> t
+    }.toMap
+  }
+
+  /** REVERSED Kruskal-Wallis per qualitative feature vs a numeric target
+    * (`_vectorized.py:kruskal_h_reversed`): the feature's modalities are
+    * the groups, the target is the ranked variable. Same cardinality-sized
+    * grouped-rank machinery as [[kruskalByFeature]] with the roles swapped.
+    */
+  def kruskalReversedByFeature(df: DataFrame, target: String, quals: Seq[String]): Map[String, KruskalRow] = {
+    if (quals.isEmpty) return Map.empty
+    val melted = df
+      .select(col(target).cast("double").as("yv"),
+        explode(map(quals.flatMap(n => Seq(lit(n), col(n).cast("string"))): _*)).as(Seq("fid", "g")))
+      .filter(col("g").isNotNull && col("yv").isNotNull)
+    val gr = melted.groupBy(col("fid"), col("g"), col("yv")).agg(count(lit(1)).as("cnt"))
+    // average rank of each y value within fid (ties -> midrank)
+    val yTot = gr.groupBy("fid", "yv").agg(sum("cnt").as("n"))
+    val w = Window.partitionBy(col("fid")).orderBy(col("yv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ry = yTot
+      .withColumn("cum", sum(col("n")).over(w))
+      .select(col("fid"), col("yv"), (col("cum") - col("n") + (col("n") + 1) / 2.0).as("ry"),
+        col("n").as("tie"))
+    val joined = gr.join(ry, Seq("fid", "yv"))
+    val grpStats = joined.groupBy("fid", "g").agg(
+      sum(col("cnt")).cast("double").as("ng"),
+      sum(col("cnt") * col("ry")).as("rg"))
+    val tieStats = ry.groupBy("fid").agg(
+      sum(col("tie") * col("tie") * col("tie") - col("tie")).cast("double").as("tsum"))
+    val rows = grpStats.groupBy("fid").agg(
+      sum(col("ng")).as("n"),
+      sum(col("rg") * col("rg") / col("ng")).as("ssbn"),
+      count(lit(1)).as("k")
+    ).join(tieStats, Seq("fid")).collect()
+    rows.map { r =>
+      val n = r.getDouble(1); val ssbn = r.getDouble(2); val k = r.getLong(3).toDouble
+      val tsum = r.getDouble(4)
+      val h0 = 12.0 / (n * (n + 1.0)) * ssbn - 3.0 * (n + 1.0)
+      val tie = 1.0 - tsum / (n * n * n - n)
+      val h = if (tie <= 0) Double.NaN else h0 / tie
+      val eps = if (n > 1) h / (n - 1.0) else Double.NaN
+      val eta = if (n - k > 0) math.max(0.0, (h - k + 1.0) / (n - k)) else Double.NaN
+      r.getString(0) -> KruskalRow(h, eps, eta)
+    }.toMap
+  }
+
+  private def selectWith(
+      df: DataFrame,
+      target: String,
+      quants: Seq[String],
+      quals: Seq[String],
+      config: Config,
+      assocOverride: Map[String, Double]
+  ): Selection = {
+    val metrics = (quantitativeMetrics(df, target, quants) ++ qualitativeMetrics(df, target, quals))
+      .values.toVector
+      .map(m => assocOverride.get(m.name).fold(m)(a => m.copy(association = a)))
     val outliers: Map[String, OutlierRates] =
       if (config.maxZscoreOutlierRate.nonEmpty || config.maxIqrOutlierRate.nonEmpty)
         outlierRates(df, quants)
@@ -381,11 +509,17 @@ object Selector {
     val gatedQuals = gated.filter(_.kind == "categorical").map(_.name)
     val assoc = quantCorrMatrix(df, gatedQuants) ++ qualPairMatrix(df, gatedQuals)
 
+    // per-kind caps: either the flat nBest, or the largest-remainder split
+    // of one total budget (F5)
+    val budgets: Map[String, Int] = config.totalBudget match {
+      case Some(tb) => splitBudget(tb, Seq("quantitative" -> quants.size, "categorical" -> quals.size))
+      case None => Map("quantitative" -> config.nBest, "categorical" -> config.nBest)
+    }
     val ranked = gated.sortBy(m => (-nz(m.association), m.name))
     val kept = mutable.ArrayBuffer.empty[FeatureRank]
     ranked.foreach { m =>
       val perKind = kept.count(_.kind == m.kind)
-      if (perKind >= config.nBest) dropped += ((m, "budget"))
+      if (perKind >= budgets.getOrElse(m.kind, config.nBest)) dropped += ((m, "budget"))
       else {
         val redundantWith = kept.find(k =>
           k.kind == m.kind && assoc.getOrElse((k.name, m.name), 0.0) > config.redundancyThreshold)

@@ -53,6 +53,22 @@ class NestedSpec extends SparkSuite {
     assert(got(1).isEmpty)
   }
 
+  test("unseen finest with a known parent lands in the parent's bucket (X4 walk)") {
+    val m = Nested.fit(df, Seq("city", "region", "country"), minFreq = 0.05, target = Some("y"))
+    // "antibes" was never seen, but its row says region=paca — and paca IS a
+    // surviving bucket (nice+cannes rolled into it), so the row-wise parent
+    // walk must resolve to paca, not __OTHER__ (base_discretizer.py:676-712)
+    val newData = Seq(
+      ("antibes", "paca", "fr"),   // unseen city, bucket parent -> paca
+      ("unknown", "nowhere", "zz"), // unseen city, unknown parents -> __OTHER__
+      ("paris", "idf", "fr")        // seen value unaffected by the walk
+    ).toDF("city", "region", "country")
+    val got = m.transform(newData).select("city").collect().map(_.getString(0))
+    assert(got(0) == "paca", got.mkString(","))
+    assert(got(1) == BinaryCarver.OtherLabel)
+    assert(got(2) == "paris")
+  }
+
   test("dirty hierarchy (child under two parents) raises") {
     val bad = Seq(("a", "p1"), ("a", "p2")).toDF("city", "region")
     intercept[IllegalArgumentException] {

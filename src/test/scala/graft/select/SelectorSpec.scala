@@ -43,6 +43,47 @@ class SelectorSpec extends SparkSuite {
     assert(sel.kept.map(_.name) == Vector("cat_sig"), sel.kept.toString)
   }
 
+  test("splitBudget: largest-remainder apportionment (F5)") {
+    // 5 seats over 7 quant + 3 qual: exact 3.5/1.5 -> floors 3/1, one
+    // leftover seat; fractional tie resolves by input order (reference's
+    // stable sort over the insertion-ordered counts dict)
+    val b = Selector.splitBudget(5, Seq("quantitative" -> 7, "categorical" -> 3))
+    assert(b.values.sum == 5, b.toString)
+    assert(b("quantitative") == 4 && b("categorical") == 1, b.toString)
+    // budget >= total means no cap
+    assert(Selector.splitBudget(20, Seq("quantitative" -> 7, "categorical" -> 3)) ==
+      Map("quantitative" -> 7, "categorical" -> 3))
+    // reference parity: split_budget(4, {"a": 5, "b": 5}) = {"a": 2, "b": 2}
+    assert(Selector.splitBudget(4, Seq("a" -> 5, "b" -> 5)) == Map("a" -> 2, "b" -> 2))
+  }
+
+  test("total budget caps across kinds in select() (F5)") {
+    val sel = Selector.select(df, "y",
+      quants = Seq("signal", "noise"), quals = Seq("cat", "cat_noise"),
+      config = Selector.Config(redundancyThreshold = 0.999, totalBudget = Some(2)))
+    // 2 seats over 2+2 features -> one per kind
+    assert(sel.kept.length == 2, sel.kept.toString)
+    assert(sel.kept.map(_.kind).sorted == Vector("categorical", "quantitative"))
+  }
+
+  test("task presets (F6): classification vs regression pick different measures") {
+    // classification on the binary target: signal ranked by Kruskal-eta2
+    val cls = Selector.selectTask(df, "y", Seq("signal", "noise"), Seq("cat", "cat_noise"),
+      task = "classification", config = Selector.Config(nBest = 1))
+    assert(cls.kept.exists(_.name == "signal"), cls.kept.toString)
+    // regression on a continuous target: spearman ranks quantitatives,
+    // reversed-kruskal ranks qualitatives
+    val withCont = df.withColumn("yc", col("signal") * 2 + col("noise"))
+      .withColumn("cat_sig", concat(lit("s"), (col("signal") > 50).cast("int").cast("string")))
+    val reg = Selector.selectTask(withCont, "yc", Seq("signal", "noise"),
+      Seq("cat_sig", "cat_noise"), task = "regression", config = Selector.Config(nBest = 1))
+    assert(reg.kept.exists(_.name == "signal"), reg.kept.toString)
+    assert(reg.kept.exists(_.name == "cat_sig"), reg.kept.toString)
+    intercept[IllegalArgumentException] {
+      Selector.selectTask(df, "y", Seq("signal"), Nil, task = "nope")
+    }
+  }
+
   test("budget caps per kind and spearman is computed") {
     val m = Selector.quantitativeMetrics(df, "y", Seq("signal", "noise"))
     assert(m("signal").association > m("noise").association)

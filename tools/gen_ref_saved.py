@@ -1,0 +1,184 @@
+#!/usr/bin/env python3
+"""Execute the REFERENCE's full BinaryCarver fit + save + transform on the
+golden 3000-row dataset and dump the artifacts as Scala test fixtures:
+
+  src/test/resources/golden/ref_saved_BinaryCarver.json   (carver.save output)
+  src/test/resources/golden/ref_saved_transformed.csv     (ordinal-encoded transform)
+
+The reference's scipy/sklearn dependencies are absent in this sandbox; the
+tiny surface the binary fit path actually touches is re-implemented here
+(chi2_contingency in numpy, norm.ppf via statistics.NormalDist, sklearn
+base classes as no-ops). Everything else is import-satisfying stubs that
+raise if called — so a green run proves the fit used only the real shims.
+
+Usage:  python3 tools/gen_ref_saved.py
+        python3 tools/gen_ref_saved.py --check-load path/to/our_model.json
+            (also loads a Scala-written reference-schema JSON with the
+             reference's BinaryCarver.load and verifies its transform
+             matches the reference-fitted carver's — bidirectional interop)
+"""
+import json
+import statistics
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+
+OUT = "src/test/resources/golden"
+
+
+# ---- scipy shim ------------------------------------------------------------
+def chi2_contingency(observed, correction=True):
+    """numpy re-implementation of the scipy statistic (value [0] only is used
+    by the reference's evaluators; Yates correction iff dof == 1)."""
+    obs = np.asarray(observed, dtype=float)
+    rowsums = obs.sum(axis=1, keepdims=True)
+    colsums = obs.sum(axis=0, keepdims=True)
+    total = obs.sum()
+    expected = rowsums * colsums / total
+    dof = (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    if correction and dof == 1:
+        diff = np.abs(obs - expected) - 0.5
+        diff = np.where(diff < 0, 0.0, diff)
+        chi2 = float((diff * diff / expected).sum())
+    else:
+        d = obs - expected
+        chi2 = float((d * d / expected).sum())
+    return chi2, None, dof, expected
+
+
+class _Norm:
+    @staticmethod
+    def ppf(q):
+        return statistics.NormalDist().inv_cdf(q)
+
+    @staticmethod
+    def cdf(x):
+        return statistics.NormalDist().cdf(x)
+
+
+def _unused(name):
+    def fn(*a, **k):
+        raise RuntimeError(f"stubbed scipy function {name} was called")
+    return fn
+
+
+scipy = types.ModuleType("scipy")
+scipy_stats = types.ModuleType("scipy.stats")
+scipy_stats.chi2_contingency = chi2_contingency
+scipy_stats.norm = _Norm()
+scipy_stats.t = _Norm()  # only .ppf-like use in stability; unused in fit
+for n in ("kruskal", "rankdata", "tiecorrect", "pearsonr", "spearmanr"):
+    setattr(scipy_stats, n, _unused(n))
+scipy_spatial = types.ModuleType("scipy.spatial")
+scipy_spatial_distance = types.ModuleType("scipy.spatial.distance")
+scipy_spatial_distance.correlation = _unused("correlation")
+scipy.stats = scipy_stats
+scipy.spatial = scipy_spatial
+scipy_spatial.distance = scipy_spatial_distance
+sys.modules["scipy"] = scipy
+sys.modules["scipy.stats"] = scipy_stats
+sys.modules["scipy.spatial"] = scipy_spatial
+sys.modules["scipy.spatial.distance"] = scipy_spatial_distance
+
+# ---- sklearn shim ----------------------------------------------------------
+sklearn = types.ModuleType("sklearn")
+sk_base = types.ModuleType("sklearn.base")
+
+
+class BaseEstimator:
+    pass
+
+
+class TransformerMixin:
+    pass
+
+
+sk_base.BaseEstimator = BaseEstimator
+sk_base.TransformerMixin = TransformerMixin
+sk_val = types.ModuleType("sklearn.utils.validation")
+
+
+def check_is_fitted(est, attributes=None):
+    if not getattr(est, "is_fitted", False):
+        raise RuntimeError("not fitted")
+
+
+sk_val.check_is_fitted = check_is_fitted
+sk_utils = types.ModuleType("sklearn.utils")
+sk_utils.validation = sk_val
+sk_ms = types.ModuleType("sklearn.model_selection")
+
+
+class BaseCrossValidator:
+    pass
+
+
+sk_ms.BaseCrossValidator = BaseCrossValidator
+sk_ms.check_cv = _unused("check_cv")
+sklearn.base = sk_base
+sklearn.utils = sk_utils
+sklearn.model_selection = sk_ms
+sys.modules["sklearn"] = sklearn
+sys.modules["sklearn.base"] = sk_base
+sys.modules["sklearn.utils"] = sk_utils
+sys.modules["sklearn.utils.validation"] = sk_val
+sys.modules["sklearn.model_selection"] = sk_ms
+
+# ---- run the reference -----------------------------------------------------
+sys.path.insert(0, "/root/reference")
+from AutoCarver import BinaryCarver  # noqa: E402
+from AutoCarver.features import Features  # noqa: E402
+from AutoCarver.discretizers.utils.base_discretizer import ProcessingConfig  # noqa: E402
+
+
+def dataset(seed=0):
+    """tests/properties/test_golden_carving.py:16-44, bit-exact."""
+    rng = np.random.default_rng(seed)
+    n = 3000
+    X = pd.DataFrame(
+        {
+            "num_a": rng.normal(size=n),
+            "num_b": rng.gamma(2.0, size=n),
+            "cat_a": rng.choice(list("abcdefgh"), size=n),
+            "cat_b": rng.choice(["x", "y", "z"], size=n, p=[0.7, 0.2, 0.1]),
+        }
+    )
+    rng2 = np.random.default_rng(0)
+    signal = X["num_a"] + 0.5 * X["num_b"] + (X["cat_a"] < "d") * 1.5 + rng2.normal(
+        scale=0.5, size=len(X))
+    y = (signal > np.median(signal)).astype(int)
+    return X, y
+
+
+def main():
+    from pathlib import Path
+
+    X, y = dataset()
+    features = Features(categoricals=["cat_a", "cat_b"], numericals=["num_a", "num_b"])
+    carver = BinaryCarver(features, min_freq=0.05, max_n_mod=5,
+                          config=ProcessingConfig(ordinal_encoding=True))
+    carver.fit(X, y)
+
+    saved = Path(OUT) / "ref_saved_BinaryCarver.json"
+    carver.save(saved)
+    print(f"wrote {saved}")
+
+    out = carver.transform(X.copy())
+    out.insert(0, "row", range(len(out)))
+    out.to_csv(Path(OUT) / "ref_saved_transformed.csv", index=False)
+    print(f"wrote {OUT}/ref_saved_transformed.csv  cols={list(out.columns)}")
+
+    if len(sys.argv) > 2 and sys.argv[1] == "--check-load":
+        ours = BinaryCarver.load(Path(sys.argv[2]))
+        theirs = out.drop(columns=["row"])
+        mine = ours.transform(X.copy())
+        same = (mine[theirs.columns].values == theirs.values).all()
+        print(f"reference loaded our JSON; transforms identical: {same}")
+        if not same:
+            sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
