@@ -92,7 +92,9 @@ class BaseEstimator:
 
 
 class TransformerMixin:
-    pass
+    def fit_transform(self, X, y=None, **kw):
+        self.fit(X, y, **kw)
+        return self.transform(X)
 
 
 sk_base.BaseEstimator = BaseEstimator
@@ -125,6 +127,32 @@ sys.modules["sklearn.base"] = sk_base
 sys.modules["sklearn.utils"] = sk_utils
 sys.modules["sklearn.utils.validation"] = sk_val
 sys.modules["sklearn.model_selection"] = sk_ms
+
+# ---- tqdm shim (progress bars only) ----------------------------------------
+tqdm_mod = types.ModuleType("tqdm")
+tqdm_auto = types.ModuleType("tqdm.auto")
+
+
+def _tqdm(iterable=None, *a, **k):
+    return iterable if iterable is not None else None
+
+
+tqdm_mod.tqdm = _tqdm
+tqdm_auto.tqdm = _tqdm
+tqdm_mod.auto = tqdm_auto
+sys.modules["tqdm"] = tqdm_mod
+sys.modules["tqdm.auto"] = tqdm_auto
+
+# ---- statsmodels shim (selector measures only; unused in the fit) ----------
+sm = types.ModuleType("statsmodels")
+sm_formula = types.ModuleType("statsmodels.formula")
+sm_formula_api = types.ModuleType("statsmodels.formula.api")
+sm_formula_api.ols = _unused("ols")
+sm.formula = sm_formula
+sm_formula.api = sm_formula_api
+sys.modules["statsmodels"] = sm
+sys.modules["statsmodels.formula"] = sm_formula
+sys.modules["statsmodels.formula.api"] = sm_formula_api
 
 # ---- run the reference -----------------------------------------------------
 sys.path.insert(0, "/root/reference")
