@@ -28,7 +28,14 @@ object BinaryCarver {
   val NanLabel = "__NAN__"
   val OtherLabel = "__OTHER__"
 
-  final case class FeatureSpec(name: String, kind: String) // "quantitative" | "categorical"
+  /** Feature declaration. `kind` is "quantitative" | "categorical" |
+    * "ordinal"; an ordinal feature (reference OrdinalFeature,
+    * `features/qualitatives/ordinal_feature.py:17-36`) carries the
+    * user-declared total value order in `ordinalOrder` — rare values merge
+    * only with their declared neighbours, and the DP search groups only
+    * consecutive declared values.
+    */
+  final case class FeatureSpec(name: String, kind: String, ordinalOrder: Seq[String] = Nil)
 
   final case class FittedFeature(
       name: String,
@@ -361,17 +368,17 @@ object BinaryCarver {
     require(histRows <= config.maxHistogramRows,
       s"histogram too large ($histRows rows) — use the sketch prebin path for high-cardinality columns")
 
-    val quantSpecs = specs.filter(_.kind == "quantitative")
-    val catSpecs = specs.filter(_.kind == "categorical")
-
     // total rows (incl. NaN) per feature = sum of histogram counts
     def totalOf(name: String): Long = trainHist(name).map(_.count).sum
 
     // ---- driver prebin per feature → search-ready state
-    val prep: Map[String, Prep] = (
-      quantSpecs.map { s => s.name -> prepQuantitative(trainHist(s.name), totalOf(s.name), q, halfMinFreq, config) } ++
-      catSpecs.map { s => s.name -> prepCategorical(trainHist(s.name), totalOf(s.name), halfMinFreq, config) }
-    ).toMap
+    val prep: Map[String, Prep] = specs.map { s =>
+      s.name -> (s.kind match {
+        case "quantitative" => prepQuantitative(trainHist(s.name), totalOf(s.name), q, halfMinFreq, config)
+        case "ordinal" => prepOrdinal(trainHist(s.name), totalOf(s.name), s.ordinalOrder, halfMinFreq, config)
+        case _ => prepCategorical(trainHist(s.name), totalOf(s.name), halfMinFreq, config)
+      })
+    }.toMap
 
     // ---- per-feature DP search: driver-side, embarrassingly parallel over
     // features (reference uses a process pool here; JVM threads suffice)
@@ -460,7 +467,10 @@ object BinaryCarver {
       rawOrder: Vector[String],         // search label order (without NaN)
       xagg: Search.Xagg,                // train xagg incl NaN row if present
       hasNan: Boolean,
-      hasDefault: Boolean
+      hasDefault: Boolean,
+      // ordinal: search label -> its pre-merged raw members in declared
+      // order (bin labels list every member, not just the leader)
+      members: Map[String, Vector[String]] = Map.empty
   )
 
   private[carve] def quantLabel(i: Int): String = f"m$i%04d"
@@ -527,6 +537,54 @@ object BinaryCarver {
       Search.Xagg(xLabels, n0, n1), hasNan, hasDefault)
   }
 
+  /** Declared-ordinal prep (reference `OrdinalDiscretizer.fit` +
+    * `find_common_modalities`, `ordinal_discretizer.py:94-187`): modality
+    * order is the USER's declared total order (never target-rate sorted);
+    * rare values merge only with a declared neighbour via the closest-
+    * modality cascade; declared-but-unseen values participate with count 0
+    * (`reindex(labels, fill_value=0)`); observed-but-undeclared values
+    * raise.
+    */
+  private[carve] def prepOrdinal(hist: Array[HistRow], total: Long, declared: Seq[String],
+      halfMinFreq: Double, config: Config): Prep = {
+    require(declared.nonEmpty, "[ordinal] declared value order is empty")
+    require(!declared.contains(NanLabel),
+      s"[ordinal] ordering for '$NanLabel' can't be set by user, only fitted on data")
+    Prebin.frequencyGate(hist.map(_.count.toDouble), total, halfMinFreq, config.rescue, "ordinal")
+    val nonNull = hist.filterNot(_.isNull)
+    val nanCount = hist.filter(_.isNull).map(_.count).sum
+    val nanSumY = hist.filter(_.isNull).map(_.sumY).sum
+    val byVal = mutable.Map.empty[String, (Double, Double)]
+    nonNull.foreach { r =>
+      val (c, s) = byVal.getOrElse(r.sv, (0.0, 0.0))
+      byVal(r.sv) = (c + r.count, s + r.sumY)
+    }
+    val undeclared = byVal.keys.filterNot(declared.contains).toSeq.sorted
+    require(undeclared.isEmpty,
+      s"[ordinal] observed values not in the declared order: ${undeclared.mkString(", ")}")
+    val labels = declared.toVector
+    val cnt = labels.map(l => byVal.getOrElse(l, (0.0, 0.0))._1).toArray
+    val sy = labels.map(l => byVal.getOrElse(l, (0.0, 0.0))._2).toArray
+    val hasRare = cnt.exists(c => Stats.isSignificantlyBelow(c, total, halfMinFreq, config.minFreqAlpha))
+    val groups =
+      if (hasRare) Prebin.findCommonModalities(labels, cnt, sy, total, halfMinFreq, config.minFreqAlpha)
+      else labels.map(Vector(_))
+    val leaderOf = groups.flatMap(g => g.map(_ -> g.head)).toMap
+    val valueToRaw = nonNull.map(r => r.sv -> leaderOf(r.sv)).toMap
+    val order = groups.map(_.head)
+    val pos = labels.zipWithIndex.toMap
+    val gCnt = groups.map(g => g.map(l => cnt(pos(l))).sum).toArray
+    val gSy = groups.map(g => g.map(l => sy(pos(l))).sum).toArray
+    val hasNan = nanCount > 0
+    val xLabels = if (hasNan) order :+ NanLabel else order
+    val n1 = gSy ++ (if (hasNan) Array(nanSumY) else Array.empty[Double])
+    val n0 = gCnt.zip(gSy).map { case (c, s) => c - s } ++
+      (if (hasNan) Array(nanCount - nanSumY) else Array.empty[Double])
+    Prep("ordinal", Vector.empty, Vector.empty, valueToRaw, order,
+      Search.Xagg(xLabels, n0, n1), hasNan, hasDefault = false,
+      members = groups.map(g => g.head -> g).toMap)
+  }
+
   /** Dev histogram → xagg in the train feature's label space. */
   private[carve] def devXaggOf(spec: FeatureSpec, p: Prep, hist: Array[HistRow]): Search.Xagg = {
     val acc = mutable.LinkedHashMap.empty[String, (Double, Double)]
@@ -584,7 +642,10 @@ object BinaryCarver {
             case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
           }
           val otherBin = labelToBin.getOrElse(OtherLabel, -1)
-          val binLabels = b.combination.map(g => g.mkString(", "))
+          // ordinal: a search label may stand for several pre-merged raw
+          // members — the bin label lists them all (declared order)
+          val binLabels = b.combination.map(g =>
+            g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
           FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
             nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
             b.rates, dropped = false, droppedReason = "")

@@ -37,10 +37,14 @@ object ContinuousCarver {
       else (BinaryCarver.histogram(train, target, specs, sketched), Nil)
     def totalOf(name: String): Long = trainHist(name).map(_.count).sum
     val prep: Map[String, Prep] = specs.map { s =>
-      s.name -> (if (s.kind == "quantitative")
-        BinaryCarver.prepQuantitative(trainHist(s.name), totalOf(s.name), q, halfMinFreq, config)
-      else
-        BinaryCarver.prepCategorical(trainHist(s.name), totalOf(s.name), halfMinFreq, config))
+      s.name -> (s.kind match {
+        case "quantitative" =>
+          BinaryCarver.prepQuantitative(trainHist(s.name), totalOf(s.name), q, halfMinFreq, config)
+        case "ordinal" =>
+          BinaryCarver.prepOrdinal(trainHist(s.name), totalOf(s.name), s.ordinalOrder, halfMinFreq, config)
+        case _ =>
+          BinaryCarver.prepCategorical(trainHist(s.name), totalOf(s.name), halfMinFreq, config)
+      })
     }.toMap
 
     // ---- pass 2: rank stats per (feature, modality), both rank bases
@@ -286,8 +290,10 @@ object ContinuousCarver {
             case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
           }
           val otherBin = labelToBin.getOrElse(OtherLabel, -1)
+          val binLabels = combination.map(g =>
+            g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
           FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
-            nanBin, otherBin, p.hasNan, p.hasDefault, combination.map(_.mkString(", ")), h, Double.NaN,
+            nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, h, Double.NaN,
             rates, dropped = false, droppedReason = "")
         }
     }

@@ -194,10 +194,14 @@ object MulticlassCarver {
     def totalOf(name: String): Long = trainHist(name).map(_.count).sum
 
     val prep: Map[String, KPrep] = specs.map { s =>
-      s.name -> (if (s.kind == "quantitative")
-        prepQuantitativeM(trainHist(s.name), totalOf(s.name), levels, q, halfMinFreq, config)
-      else
-        prepCategoricalM(trainHist(s.name), totalOf(s.name), levels, halfMinFreq, config))
+      s.name -> (s.kind match {
+        case "quantitative" =>
+          prepQuantitativeM(trainHist(s.name), totalOf(s.name), levels, q, halfMinFreq, config)
+        case "ordinal" =>
+          prepOrdinalM(trainHist(s.name), totalOf(s.name), levels, s.ordinalOrder, halfMinFreq, config)
+        case _ =>
+          prepCategoricalM(trainHist(s.name), totalOf(s.name), levels, halfMinFreq, config)
+      })
     }.toMap
 
     import scala.concurrent.{Await, Future, ExecutionContext}
@@ -314,6 +318,67 @@ object MulticlassCarver {
       Ordinal.KXagg(xLabels, levels, m), hasNan, hasDefault)
   }
 
+  /** Declared-ordinal feature prep against a NOMINAL target: declared
+    * order preserved; the rare-merge "rate" substitutes each modality's
+    * CA first-axis score (`ordinal_discretizer.py:compute_stats` —
+    * `_ca_row_scores` — an unordered target has no numeric mean).
+    */
+  private[carve] def prepOrdinalM(
+      hist: Array[KHistRow], total: Long, levels: Vector[Double], declared: Seq[String],
+      halfMinFreq: Double, config: Config
+  ): KPrep = {
+    require(declared.nonEmpty, "[ordinal] declared value order is empty")
+    require(!declared.contains(NanLabel),
+      s"[ordinal] ordering for '$NanLabel' can't be set by user, only fitted on data")
+    val levelIdx = levels.zipWithIndex.toMap
+    val nonNull = hist.filterNot(_.isNull)
+    val nanRows = hist.filter(_.isNull)
+    locally {
+      val perValue = mutable.Map.empty[String, Double]
+      hist.foreach(r => perValue(if (r.isNull) null else r.sv) =
+        perValue.getOrElse(if (r.isNull) null else r.sv, 0.0) + r.count)
+      Prebin.frequencyGate(perValue.values, total, halfMinFreq, config.rescue, "ordinal")
+    }
+    val undeclared = nonNull.map(_.sv).distinct.filterNot(declared.contains).sorted
+    require(undeclared.isEmpty,
+      s"[ordinal] observed values not in the declared order: ${undeclared.mkString(", ")}")
+    val labels = declared.toVector
+    val pos = labels.zipWithIndex.toMap
+    val mat = Array.fill(labels.length, levels.length)(0.0)
+    val cnt = new Array[Double](labels.length)
+    nonNull.foreach { r =>
+      val i = pos(r.sv)
+      mat(i)(levelIdx(r.level)) += r.count
+      cnt(i) += r.count
+    }
+    val hasRare = cnt.exists(c => Stats.isSignificantlyBelow(c, total, halfMinFreq, config.minFreqAlpha))
+    val groups =
+      if (hasRare) {
+        val scores = Ca.caRowScores(mat, Ca.fitCaAxis(mat))
+        val sy = Array.tabulate(labels.length)(i => cnt(i) * scores(i))
+        Prebin.findCommonModalities(labels, cnt, sy, total, halfMinFreq, config.minFreqAlpha)
+      } else labels.map(Vector(_))
+    val leaderOf = groups.flatMap(g => g.map(_ -> g.head)).toMap
+    val valueToRaw = nonNull.map(r => r.sv -> leaderOf(r.sv)).toMap
+    val order = groups.map(_.head)
+    val gMat = groups.map { g =>
+      val row = new Array[Double](levels.length)
+      g.foreach { l => val p = pos(l); var j = 0; while (j < row.length) { row(j) += mat(p)(j); j += 1 } }
+      row
+    }.toArray
+    val hasNan = nanRows.nonEmpty
+    val nanRow = {
+      val row = new Array[Double](levels.length)
+      nanRows.foreach(r => row(levelIdx(r.level)) += r.count)
+      row
+    }
+    val xLabels = if (hasNan) order :+ NanLabel else order
+    val m = if (hasNan) gMat :+ nanRow else gMat
+    KPrep("ordinal", Vector.empty, Vector.empty, valueToRaw, order,
+      Ordinal.KXagg(xLabels, levels, m), hasNan, hasDefault = false,
+      members = groups.map(g => g.head -> g).toMap)
+  }
+
   private[carve] def searchFeatureM(spec: FeatureSpec, p: KPrep, devX: Option[Ordinal.KXagg], config: Config,
       folds: Seq[Ordinal.KXagg] = Nil): MFitted = {
     def run(minFreq: Option[Double]) = Multiclass.bestCombination(
@@ -348,7 +413,8 @@ object MulticlassCarver {
               case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
             }
             val otherBin = labelToBin.getOrElse(OtherLabel, -1)
-            val binLabels = b.combination.map(g => g.mkString(", "))
+            val binLabels = b.combination.map(g =>
+              g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
             FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
               nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
               b.rates, dropped = false, droppedReason = "")

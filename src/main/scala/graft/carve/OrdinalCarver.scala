@@ -202,10 +202,15 @@ object OrdinalCarver {
     def totalOf(name: String): Long = trainHist(name).map(_.count).sum
 
     val prep: Map[String, KPrep] = specs.map { s =>
-      s.name -> (if (s.kind == "quantitative")
-        prepQuantitativeK(trainHist(s.name), totalOf(s.name), levels, q, halfMinFreq, config)
-      else
-        prepCategoricalK(trainHist(s.name), totalOf(s.name), levels, yLevelScores, halfMinFreq, config))
+      s.name -> (s.kind match {
+        case "quantitative" =>
+          prepQuantitativeK(trainHist(s.name), totalOf(s.name), levels, q, halfMinFreq, config)
+        case "ordinal" =>
+          prepOrdinalK(trainHist(s.name), totalOf(s.name), levels, s.ordinalOrder,
+            yLevelScores, halfMinFreq, config)
+        case _ =>
+          prepCategoricalK(trainHist(s.name), totalOf(s.name), levels, yLevelScores, halfMinFreq, config)
+      })
     }.toMap
 
     val rate0: Ordinal.ORate =
@@ -239,8 +244,70 @@ object OrdinalCarver {
       rawOrder: Vector[String],
       xagg: Ordinal.KXagg,
       hasNan: Boolean,
-      hasDefault: Boolean
+      hasDefault: Boolean,
+      // declared-ordinal: search label -> pre-merged raw members
+      members: Map[String, Vector[String]] = Map.empty
   )
+
+  /** Declared-ordinal feature prep against a K-level target: declared
+    * order preserved, rare values merged with declared neighbours using
+    * the numeric level sum as the merge rate (`ordinal_discretizer.py:
+    * compute_stats` — an integer-encoded ordinal target has a mean).
+    */
+  private[carve] def prepOrdinalK(
+      hist: Array[KHistRow], total: Long, levels: Vector[Double], declared: Seq[String],
+      yLevelScores: Map[Double, Double], halfMinFreq: Double, config: Config
+  ): KPrep = {
+    require(declared.nonEmpty, "[ordinal] declared value order is empty")
+    require(!declared.contains(NanLabel),
+      s"[ordinal] ordering for '$NanLabel' can't be set by user, only fitted on data")
+    val levelIdx = levels.zipWithIndex.toMap
+    val nonNull = hist.filterNot(_.isNull)
+    val nanRows = hist.filter(_.isNull)
+    locally {
+      val perValue = mutable.Map.empty[String, Double]
+      hist.foreach(r => perValue(if (r.isNull) null else r.sv) =
+        perValue.getOrElse(if (r.isNull) null else r.sv, 0.0) + r.count)
+      Prebin.frequencyGate(perValue.values, total, halfMinFreq, config.rescue, "ordinal")
+    }
+    val undeclared = nonNull.map(_.sv).distinct.filterNot(declared.contains).sorted
+    require(undeclared.isEmpty,
+      s"[ordinal] observed values not in the declared order: ${undeclared.mkString(", ")}")
+    val labels = declared.toVector
+    val pos = labels.zipWithIndex.toMap
+    val mat = Array.fill(labels.length, levels.length)(0.0)
+    val cnt = new Array[Double](labels.length)
+    val sy = new Array[Double](labels.length)
+    nonNull.foreach { r =>
+      val i = pos(r.sv)
+      mat(i)(levelIdx(r.level)) += r.count
+      cnt(i) += r.count
+      sy(i) += r.count * yLevelScores(r.level)
+    }
+    val hasRare = cnt.exists(c => Stats.isSignificantlyBelow(c, total, halfMinFreq, config.minFreqAlpha))
+    val groups =
+      if (hasRare) Prebin.findCommonModalities(labels, cnt, sy, total, halfMinFreq, config.minFreqAlpha)
+      else labels.map(Vector(_))
+    val leaderOf = groups.flatMap(g => g.map(_ -> g.head)).toMap
+    val valueToRaw = nonNull.map(r => r.sv -> leaderOf(r.sv)).toMap
+    val order = groups.map(_.head)
+    val gMat = groups.map { g =>
+      val row = new Array[Double](levels.length)
+      g.foreach { l => val p = pos(l); var j = 0; while (j < row.length) { row(j) += mat(p)(j); j += 1 } }
+      row
+    }.toArray
+    val hasNan = nanRows.nonEmpty
+    val nanRow = {
+      val row = new Array[Double](levels.length)
+      nanRows.foreach(r => row(levelIdx(r.level)) += r.count)
+      row
+    }
+    val xLabels = if (hasNan) order :+ NanLabel else order
+    val m = if (hasNan) gMat :+ nanRow else gMat
+    KPrep("ordinal", Vector.empty, Vector.empty, valueToRaw, order,
+      Ordinal.KXagg(xLabels, levels, m), hasNan, hasDefault = false,
+      members = groups.map(g => g.head -> g).toMap)
+  }
 
   private[carve] def prepQuantitativeK(
       hist: Array[KHistRow], total: Long, levels: Vector[Double],
@@ -389,7 +456,8 @@ object OrdinalCarver {
               case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
             }
             val otherBin = labelToBin.getOrElse(OtherLabel, -1)
-            val binLabels = b.combination.map(g => g.mkString(", "))
+            val binLabels = b.combination.map(g =>
+              g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
             FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
               nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, Double.NaN, Double.NaN,
               b.rates, dropped = false, droppedReason = "")

@@ -165,7 +165,8 @@ object RefJson {
       // our display convention: leader (content's LAST member) first
       val binLabels = memberStrs.map(ms => (ms.last +: ms.init).mkString(", "))
       val rates = ratesFrom(tm, fr, cn, binLabels.length)
-      BinaryCarver.FittedFeature(version, "categorical", Vector.empty, Vector.empty,
+      val kind = if (bool(j \ "is_ordinal")) "ordinal" else "categorical"
+      BinaryCarver.FittedFeature(version, kind, Vector.empty, Vector.empty,
         valueToBin.toMap, nanBin, otherBin, hasNan, hasDefault, binLabels,
         Double.NaN, Double.NaN, rates, dropped = false, droppedReason = "")
     }
@@ -257,8 +258,8 @@ object RefJson {
     s"""{"name": "${esc(f.name)}", "version": "${esc(f.name)}", "version_tag": "${esc(f.name)}", """ +
       s""""has_nan": ${f.hasNan}, "nan": "$Nan", "has_default": ${f.hasDefault}, "default": "$Other", """ +
       s""""dropna": true, "is_fitted": true, "values": $values, "content": $contentStr, """ +
-      s""""is_qualitative": ${f.kind == "categorical"}, "is_quantitative": ${f.kind == "quantitative"}, """ +
-      s""""is_categorical": ${f.kind == "categorical"}, "is_ordinal": false, "is_nested": false, """ +
+      s""""is_qualitative": ${f.kind != "quantitative"}, "is_quantitative": ${f.kind == "quantitative"}, """ +
+      s""""is_categorical": ${f.kind == "categorical"}, "is_ordinal": ${f.kind == "ordinal"}, "is_nested": false, """ +
       s""""is_datetime": false, "ordinal_encoding": true, "statistics": $statistics, """ +
       s""""rate_reference": null, "history": []}"""
   }

@@ -198,6 +198,33 @@ def main():
     out.to_csv(Path(OUT) / "ref_saved_transformed.csv", index=False)
     print(f"wrote {OUT}/ref_saved_transformed.csv  cols={list(out.columns)}")
 
+    # ---- ordinal-feature fit (user-declared value order) -------------------
+    # deterministic ordinal column with a rare top level: the declared order
+    # is NOT the target-rate order, so adjacent-only merging is observable
+    rng3 = np.random.default_rng(7)
+    levels = ["low", "mid", "high", "vhigh"]
+    probs = [0.45, 0.35, 0.17, 0.03]
+    Xo = X.copy()
+    Xo["ord_a"] = rng3.choice(levels, size=len(X), p=probs)
+    features_o = Features(
+        numericals=["num_a"],
+        ordinals={"ord_a": levels},
+    )
+    carver_o = BinaryCarver(features_o, min_freq=0.05, max_n_mod=5,
+                            config=ProcessingConfig(ordinal_encoding=True))
+    carver_o.fit(Xo, y)
+    carver_o.save(Path(OUT) / "ref_saved_OrdinalFeature.json")
+    out_o = carver_o.transform(Xo.copy())
+    dump = Xo[["num_a", "ord_a"]].copy()
+    dump.insert(0, "row", range(len(dump)))
+    dump["y_binary"] = y.values
+    dump["t_num_a"] = out_o["num_a"].values
+    dump["t_ord_a"] = out_o["ord_a"].values
+    dump.to_csv(Path(OUT) / "ref_saved_ordinal.csv", index=False)
+    print(f"wrote {OUT}/ref_saved_OrdinalFeature.json and ref_saved_ordinal.csv")
+    print("ordinal values:", carver_o.features("ord_a").values,
+          "content:", carver_o.features("ord_a").content)
+
     if len(sys.argv) > 2 and sys.argv[1] == "--check-load":
         ours = BinaryCarver.load(Path(sys.argv[2]))
         theirs = out.drop(columns=["row"])
