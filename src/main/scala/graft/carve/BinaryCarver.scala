@@ -52,7 +52,10 @@ object BinaryCarver {
       tschuprowt: Double,
       rates: Vector[Search.RateRow],
       dropped: Boolean,
-      droppedReason: String
+      droppedReason: String,
+      // continuous carver only: per-bin sample std (ddof=1) of y — the
+      // Welch-drift reference for stability monitoring (M4)
+      stds: Vector[Double] = Vector.empty
   ) {
     def nBins: Int = binLabels.length
   }

@@ -89,7 +89,7 @@ object ContinuousCarver {
     val fitted = Await.result(Future.traverse(specs.toVector) { spec =>
       Future {
         val p = prep(spec.name)
-        val (sub, full) = rankStats(spec.name)
+        val (sub, full, moments) = rankStats(spec.name)
         def view(h: Map[String, Array[BinaryCarver.HistRow]],
             yh: Map[String, Map[String, Array[(Double, Double)]]]): Continuous.RankXagg = {
           val x = BinaryCarver.devXaggOf(spec, p, h.getOrElse(spec.name, Array.empty))
@@ -103,7 +103,7 @@ object ContinuousCarver {
         val devX = devHist.map(view(_, devYHists))
         val foldXs = foldHists.zip(foldYHists).map { case (h, yh) => view(h, yh) }
           .filter(_.labels.nonEmpty)
-        searchContinuous(spec, p, sub, full, devX.filter(_.labels.nonEmpty), config, foldXs)
+        searchContinuous(spec, p, sub, full, devX.filter(_.labels.nonEmpty), config, foldXs, moments)
       }
     }, Duration.Inf)
 
@@ -134,7 +134,7 @@ object ContinuousCarver {
       specs: Seq[FeatureSpec],
       prep: Map[String, Prep],
       withMedians: Boolean = false
-  ): Map[String, (Continuous.RankXagg, Continuous.RankXagg)] = {
+  ): Map[String, (Continuous.RankXagg, Continuous.RankXagg, Map[String, (Double, Double, Double)])] = {
     val y = col(target).cast("double")
     val entries = specs.map { s =>
       struct(lit(s.name).as("fid"), labelExpr(s, prep(s.name)).as("lbl"))
@@ -212,15 +212,17 @@ object ContinuousCarver {
         count(lit(1)).as("n"),
         sum(col("rank_all")).as("ra"),
         sum(col("rank_sub")).as("rs"),
-        sum(col("y")).as("sy")
+        sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy")
       )
       .collect()
     yh.unpersist()
 
-    val byFid = mutable.Map.empty[String, mutable.ArrayBuffer[(String, Double, Double, Double, Double)]]
+    val byFid = mutable.Map.empty[String, mutable.ArrayBuffer[(String, Double, Double, Double, Double, Double)]]
     stats.foreach { r =>
       byFid.getOrElseUpdate(r.getString(0), mutable.ArrayBuffer.empty) +=
-        ((r.getString(1), r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        ((r.getString(1), r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))
     }
 
     // per-(feature, modality) y histogram for the median rate (R4): one more
@@ -250,7 +252,8 @@ object ContinuousCarver {
         )
       val fullLabels = p.xagg.labels
       val subLabels = fullLabels.filterNot(_ == NanLabel)
-      s.name -> (mk(subLabels, useSub = true, tcs), mk(fullLabels, useSub = false, tca))
+      val moments = rows.view.mapValues(t => (t._2, t._5, t._6)).toMap
+      s.name -> ((mk(subLabels, useSub = true, tcs), mk(fullLabels, useSub = false, tca), moments))
     }.toMap
   }
 
@@ -261,7 +264,9 @@ object ContinuousCarver {
       full: Continuous.RankXagg,
       devX: Option[Continuous.RankXagg],
       config: Config,
-      folds: Seq[Continuous.RankXagg] = Nil
+      folds: Seq[Continuous.RankXagg] = Nil,
+      // per-label (n, Σy, Σy²) for the per-bin sample std (M4 drift tests)
+      moments: Map[String, (Double, Double, Double)] = Map.empty
   ): FittedFeature = {
     def run(minFreq: Option[Double]) = Continuous.bestCombination(
       sub, full, devX, config.maxNMod, minFreq, config.minFreqAlpha,
@@ -279,12 +284,19 @@ object ContinuousCarver {
       case Some((combination, h, rates)) =>
         val labelToBin = combination.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
         val nanBin = labelToBin.getOrElse(NanLabel, -1)
+        // per-bin sample std (ddof=1) from the (n, Σy, Σy²) label moments —
+        // the Welch-drift reference the stability monitor needs (M4)
+        val stds = combination.map { g =>
+          val ms = g.flatMap(l => moments.get(l))
+          val n = ms.map(_._1).sum; val s = ms.map(_._2).sum; val ss = ms.map(_._3).sum
+          if (n < 2) Double.NaN else math.sqrt(math.max(0.0, (ss - s * s / n) / (n - 1)))
+        }
         if (p.kind == "quantitative") {
           val prebinToBin = p.prebinLeader.map(l => labelToBin.getOrElse(l, -1))
           val binLabels = BinaryCarver.quantBinLabels(combination, p, nanBin)
           FittedFeature(spec.name, p.kind, p.prebinEdges, prebinToBin, Map.empty,
             nanBin, -1, p.hasNan, p.hasDefault, binLabels, h, Double.NaN, rates,
-            dropped = false, droppedReason = "")
+            dropped = false, droppedReason = "", stds = stds)
         } else {
           val valueToBin = p.valueToRaw.collect {
             case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
@@ -294,7 +306,7 @@ object ContinuousCarver {
             g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
           FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
             nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, h, Double.NaN,
-            rates, dropped = false, droppedReason = "")
+            rates, dropped = false, droppedReason = "", stds = stds)
         }
     }
   }

@@ -53,7 +53,8 @@ object Json {
           ("label" -> r.label) ~ ("rate" -> num(r.rate)) ~
           ("frequency" -> num(r.frequency)) ~ ("count" -> num(r.count)))) ~
         ("dropped" -> f.dropped) ~
-        ("dropped_reason" -> f.droppedReason)
+        ("dropped_reason" -> f.droppedReason) ~
+        ("stds" -> f.stds.map(num))
       })
     JsonMethods.pretty(JsonMethods.render(json))
   }
@@ -91,7 +92,8 @@ object Json {
           Search.RateRow(str(r \ "label"), numOf(r \ "rate"), numOf(r \ "frequency"), numOf(r \ "count"))
         ).toVector,
         dropped = bool(f \ "dropped"),
-        droppedReason = str(f \ "dropped_reason")
+        droppedReason = str(f \ "dropped_reason"),
+        stds = arr(f \ "stds").map(numOf).toVector
       )
     }.toVector
     BinaryCarver.Model(

@@ -34,7 +34,10 @@ object MulticlassCarver {
       sketchRelativeError: Double = 0.0001
   )
 
-  final case class MFitted(feature: FittedFeature, cramerv: Double, tschuprowt: Double)
+  final case class MFitted(feature: FittedFeature, cramerv: Double, tschuprowt: Double,
+      // fitted CA-axis rate (the reference's `rate_reference` for nominal
+      // targets) for comparable new-sample rates at stability time (M4)
+      rateRef: Ordinal.ORate = null)
 
   final case class Model(
       target: String,
@@ -394,7 +397,7 @@ object MulticlassCarver {
         MFitted(FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,
           -1, -1, p.hasNan, p.hasDefault, Vector.empty, Double.NaN, Double.NaN,
           Vector.empty, dropped = true, droppedReason = "no viable combination"),
-          Double.NaN, Double.NaN)
+          Double.NaN, Double.NaN, Multiclass.CAScoreRate(Ca.fitCaAxis(p.xagg.m)))
       case Some(b) =>
         val labelToBin: Map[String, Int] =
           b.combination.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
@@ -419,7 +422,7 @@ object MulticlassCarver {
               nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
               b.rates, dropped = false, droppedReason = "")
           }
-        MFitted(f, b.cramerv, b.tschuprowt)
+        MFitted(f, b.cramerv, b.tschuprowt, Multiclass.CAScoreRate(Ca.fitCaAxis(p.xagg.m)))
     }
   }
 }

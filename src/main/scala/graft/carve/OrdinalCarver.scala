@@ -35,7 +35,11 @@ object OrdinalCarver {
       sketchRelativeError: Double = 0.0001
   )
 
-  final case class OFitted(feature: FittedFeature, tauB: Double, tauC: Double, somersd: Double)
+  final case class OFitted(feature: FittedFeature, tauB: Double, tauC: Double, somersd: Double,
+      // fitted target-rate reference (ridit marginal snapshot / level map) —
+      // the reference's `rate_reference`, needed to recompute comparable
+      // rates on a new sample at stability time (M4)
+      rateRef: Ordinal.ORate = null)
 
   final case class Model(
       target: String,
@@ -437,7 +441,7 @@ object OrdinalCarver {
         OFitted(FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,
           -1, -1, p.hasNan, p.hasDefault, Vector.empty, Double.NaN, Double.NaN,
           Vector.empty, dropped = true, droppedReason = "no viable combination"),
-          Double.NaN, Double.NaN, Double.NaN)
+          Double.NaN, Double.NaN, Double.NaN, rate0.fitReference(p.xagg))
       case Some(b) =>
         val labelToBin: Map[String, Int] =
           b.combination.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
@@ -462,7 +466,7 @@ object OrdinalCarver {
               nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, Double.NaN, Double.NaN,
               b.rates, dropped = false, droppedReason = "")
           }
-        OFitted(f, b.metrics.tauB, b.metrics.tauC, b.metrics.somersd)
+        OFitted(f, b.metrics.tauB, b.metrics.tauC, b.metrics.somersd, rate0.fitReference(p.xagg))
     }
   }
 }

@@ -208,7 +208,10 @@ object Stability {
       driftP: Vector[Double],
       viableAsDev: Boolean,
       unstable: Boolean,
-      reasons: Vector[String]
+      reasons: Vector[String],
+      // per-bin (new rate − train rate) in the model's own rate scale
+      // (mean / ridit / CA score); reference `rate_delta`
+      rateDelta: Vector[Double] = Vector.empty
   )
 
   final case class Report(features: Vector[FeatureStability]) {
@@ -272,8 +275,187 @@ object Stability {
       if (!p.isNaN && p < alpha && v >= 0.1) reasons += f"chi2 shift p=$p%.4g V=$v%.3f"
       if (!viability.viable) reasons += "viability failed on new sample"
       val rs = reasons.result()
-      FeatureStability(f.name, psiV, c2, p, v, drift.toVector, viability.viable, rs.nonEmpty, rs)
+      FeatureStability(f.name, psiV, c2, p, v, drift.toVector, viability.viable, rs.nonEmpty, rs,
+        rateDelta = newRate.indices.map(i => newRate(i) - refRate(i)).toVector)
     }
     Report(feats)
+  }
+
+  // ------------------------------------------------- non-binary models (M4)
+
+  /** Generic per-feature verdict assembly shared by the ordinal /
+    * multiclass / continuous monitors: PSI + chi² on counts, the rate-based
+    * viability suite (Wilson min-freq on the new counts, distinct new
+    * rates, rate-order agreement with train — the same checks the carver
+    * used at fit time), and the drift p-values when the family's rate has
+    * recoverable variance (`stability/report.py:106-228`: ordinal/
+    * multiclass rates get the delta but NO p-values).
+    */
+  private def verdict(
+      f: BinaryCarver.FittedFeature,
+      newCount: Array[Double],
+      newRate: Array[Double],
+      driftP: Array[Double],
+      minFreq: Double,
+      alpha: Double,
+      psiThreshold: Double
+  ): FeatureStability = {
+    val newTotal = math.max(newCount.sum, 1.0)
+    val newFreq = newCount.map(_ / newTotal)
+    val refFreq = f.rates.map(_.frequency).toArray
+    val refCount = f.rates.map(_.count).toArray
+    val refRate = f.rates.map(_.rate).toArray
+    val (psiV, _) = psi(refFreq, newFreq)
+    val (c2, p, _, v) = chi2Homogeneity(refCount, newCount)
+    val newRows = newRate.indices.map(i =>
+      Search.RateRow(f.rates(i).label, newRate(i), newFreq(i), newCount(i))).toVector
+    val minFreqOk = Search.testMinFreq(newRows, Some(minFreq), alpha)
+    val distinctOk = Search.testDistinctRates(newRows)
+    val orderingOk = Search.testOrdering(refRate.toVector, newRate.toVector)
+    val viable = minFreqOk && distinctOk && orderingOk
+    val reasons = Vector.newBuilder[String]
+    if (psiV > psiThreshold) reasons += f"psi=$psiV%.4f>$psiThreshold"
+    if (!p.isNaN && p < alpha && v >= 0.1) reasons += f"chi2 shift p=$p%.4g V=$v%.3f"
+    if (!viable) reasons += "viability failed on new sample"
+    val rs = reasons.result()
+    FeatureStability(f.name, psiV, c2, p, v, driftP.toVector, viable, rs.nonEmpty, rs,
+      rateDelta = newRate.indices.map(i => newRate(i) - refRate(i)).toVector)
+  }
+
+  /** Per-(feature, bin, target value) counts of the transformed new sample
+    * — the one aggregation every non-binary monitor shares.
+    */
+  private def binLevelCounts(
+      bmodel: BinaryCarver.Model,
+      newDf: DataFrame,
+      yCol: org.apache.spark.sql.Column
+  ): Map[String, Map[(Int, Double), Double]] = {
+    val kept = bmodel.kept
+    val binned = bmodel.transform(newDf, keepOriginal = true)
+    val entries = kept.map(f => struct(lit(f.name).as("fid"), col(s"${f.name}_bin").as("bin")))
+    val agg = binned.select(explode(array(entries: _*)).as("e"), yCol.as("__y"))
+      .groupBy(col("e.fid").as("fid"), col("e.bin").as("bin"), col("__y"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+    val byFid = mutable.Map.empty[String, mutable.Map[(Int, Double), Double]]
+    agg.foreach { r =>
+      val bin = if (r.isNullAt(1)) -1 else r.getInt(1)
+      val y = if (r.isNullAt(2)) Double.NaN else r.getDouble(2)
+      val m = byFid.getOrElseUpdate(r.getString(0), mutable.Map.empty)
+      m((bin, y)) = m.getOrElse((bin, y), 0.0) + r.getLong(3)
+    }
+    byFid.view.mapValues(_.toMap).toMap
+  }
+
+  /** Ordinal-model monitoring: new-sample rates recomputed with the
+    * model's fitted ridit/level rate reference (so they are directly
+    * comparable to the stored train rates); PSI + chi² + viability; no
+    * per-bin p-values (ridit sampling variance is not recoverable from the
+    * stored columns — the rate delta is still reported).
+    */
+  def evaluateOrdinal(
+      om: graft.carve.OrdinalCarver.Model,
+      newDf: DataFrame,
+      target: String,
+      alpha: Double = 0.05,
+      psiThreshold: Double = 0.25
+  ): Report = {
+    val kept = om.kept
+    if (kept.isEmpty) return Report(Vector.empty)
+    val counts = binLevelCounts(om.binaryView, newDf, col(target).cast("double"))
+    Report(kept.map { of =>
+      val f = of.feature
+      val per = counts.getOrElse(f.name, Map.empty)
+      val levels = per.keysIterator.map(_._2).filterNot(_.isNaN).toVector.distinct.sorted
+      val m = Array.tabulate(f.nBins, levels.length)((b, j) => per.getOrElse((b, levels(j)), 0.0))
+      val newCount = m.map(_.sum)
+      val newRate =
+        if (of.rateRef == null) Array.fill(f.nBins)(Double.NaN)
+        else of.rateRef.compute(graft.carve.Ordinal.KXagg(f.rates.map(_.label), levels, m))
+      verdict(f, newCount, newRate, Array.empty, om.minFreq, alpha, psiThreshold)
+    })
+  }
+
+  /** Multiclass-model monitoring: new-sample rates are the per-bin CA
+    * first-axis scores under the TRAIN-fitted axis (the model's rate
+    * reference); unseen new classes raise, like the fit path.
+    */
+  def evaluateMulticlass(
+      mm: graft.carve.MulticlassCarver.Model,
+      newDf: DataFrame,
+      target: String,
+      alpha: Double = 0.05,
+      psiThreshold: Double = 0.25
+  ): Report = {
+    val kept = mm.kept
+    if (kept.isEmpty) return Report(Vector.empty)
+    val classIdx = mm.classes.zipWithIndex.toMap
+    val unseen = newDf.select(col(target).cast("string")).distinct()
+      .collect().map(_.getString(0)).filterNot(c => c == null || classIdx.contains(c))
+    require(unseen.isEmpty, s"[Stability] new sample carries unseen classes ${unseen.mkString(", ")}")
+    val yIdx = {
+      val pairs = mm.classes.zipWithIndex.flatMap { case (c, i) => Seq(lit(c), lit(i.toDouble)) }
+      element_at(map(pairs: _*), col(target).cast("string"))
+    }
+    val counts = binLevelCounts(mm.binaryView, newDf, yIdx)
+    val levels = mm.classes.indices.map(_.toDouble).toVector
+    Report(kept.map { mf =>
+      val f = mf.feature
+      val per = counts.getOrElse(f.name, Map.empty)
+      val m = Array.tabulate(f.nBins, levels.length)((b, j) => per.getOrElse((b, levels(j)), 0.0))
+      val newCount = m.map(_.sum)
+      val newRate =
+        if (mf.rateRef == null) Array.fill(f.nBins)(Double.NaN)
+        else mf.rateRef.compute(graft.carve.Ordinal.KXagg(f.rates.map(_.label), levels, m))
+      verdict(f, newCount, newRate, Array.empty, mm.minFreq, alpha, psiThreshold)
+    })
+  }
+
+  /** Continuous-model monitoring: per-bin mean as the rate, Welch t drift
+    * p-values against the stored per-bin (mean, std, count) — the one
+    * family whose rate variance IS recoverable (`metrics.py:126-158`).
+    */
+  def evaluateContinuous(
+      model: BinaryCarver.Model,
+      newDf: DataFrame,
+      target: String,
+      alpha: Double = 0.05,
+      psiThreshold: Double = 0.25
+  ): Report = {
+    val kept = model.kept
+    if (kept.isEmpty) return Report(Vector.empty)
+    val binned = model.transform(newDf, keepOriginal = true)
+    val y = col(target).cast("double")
+    val entries = kept.map(f => struct(lit(f.name).as("fid"), col(s"${f.name}_bin").as("bin")))
+    val agg = binned.select(explode(array(entries: _*)).as("e"), y.as("__y"))
+      .groupBy(col("e.fid").as("fid"), col("e.bin").as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("sy"), sum(col("__y") * col("__y")).as("syy"))
+      .collect()
+    val byFid = mutable.Map.empty[String, mutable.Map[Int, (Double, Double, Double)]]
+    agg.foreach { r =>
+      byFid.getOrElseUpdate(r.getString(0), mutable.Map.empty)(
+        if (r.isNullAt(1)) -1 else r.getInt(1)) =
+        (r.getLong(2).toDouble,
+          if (r.isNullAt(3)) 0.0 else r.getDouble(3),
+          if (r.isNullAt(4)) 0.0 else r.getDouble(4))
+    }
+    Report(kept.map { f =>
+      val per = byFid.getOrElse(f.name, mutable.Map.empty)
+      val newCount = Array.tabulate(f.nBins)(i => per.get(i).map(_._1).getOrElse(0.0))
+      val newMean = Array.tabulate(f.nBins) { i =>
+        per.get(i).map { case (n, s, _) => if (n > 0) s / n else Double.NaN }.getOrElse(Double.NaN)
+      }
+      val newStd = Array.tabulate(f.nBins) { i =>
+        per.get(i).map { case (n, s, ss) =>
+          if (n < 2) Double.NaN else math.sqrt(math.max(0.0, (ss - s * s / n) / (n - 1)))
+        }.getOrElse(Double.NaN)
+      }
+      val driftP =
+        if (f.stds.length == f.nBins)
+          welch(f.rates.map(_.rate).toArray, f.stds.toArray, f.rates.map(_.count).toArray,
+            newMean, newStd, newCount)
+        else Array.empty[Double]
+      verdict(f, newCount, newMean, driftP, model.minFreq, alpha, psiThreshold)
+    })
   }
 }
