@@ -360,6 +360,102 @@ object SparkEntry {
     ))
   }
 
+  // ------------------------------------------------------------------------
+  // SQL fragments for the hash-arithmetic oracles. The dedup/text kernels
+  // (FNV-1a, splitmix64 minhash perms, simhash) are deterministic 64-bit
+  // modular arithmetic, so DuckDB can recompute them exactly with HUGEINT
+  // (int128) intermediates reduced mod 2^64 and re-signed for Spark's Long.
+  private val M64 = "18446744073709551616::HUGEINT"
+  private val FnvP = "1099511628211::HUGEINT"
+  private val FnvOfs = "14695981039346656037::HUGEINT"
+  private def signed64(x: String): String =
+    s"(CASE WHEN ($x) >= 9223372036854775808::HUGEINT THEN ($x) - $M64 ELSE ($x) END)::BIGINT"
+  /** FNV-1a over the code points of a string expression, as a HUGEINT in [0, 2^64). */
+  private def fnvSql(str: String): String =
+    s"""list_reduce(list_prepend($FnvOfs, list_transform(range(1, length($str)+1),
+       |      i -> unicode(($str)[i])::HUGEINT)), (h, c) -> (xor(h, c) * $FnvP) % $M64)""".stripMargin
+  /** a*h mod 2^64 via 32/32 split (a*h would overflow int128). */
+  private def mulMod64(a: String, h: String): String =
+    s"""(($a * (($h) % 4294967296::HUGEINT) +
+       |  (($a * (($h) // 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $M64)""".stripMargin
+  /** The 64 minhash permutation rows (pi, a, b) as literal VALUES — the
+    * same splitmix64 expansion as [[Dedup.perms]], printed unsigned.
+    */
+  private val permValuesSql: String =
+    Dedup.perms(64, 42L).zipWithIndex.map { case ((a, b), i) =>
+      s"($i, ${java.lang.Long.toUnsignedString(a)}::HUGEINT, ${java.lang.Long.toUnsignedString(b)}::HUGEINT)"
+    }.mkString(",")
+  /** documents + the deterministic near-dups of [[docsWithNearDups]], with
+    * the shingle normalization (lower+trim) applied — shared CTE head for
+    * the minhash-family oracles.
+    */
+  private val dupDocsSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id AS id, lower(trim(text)) AS t FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS id, lower(trim(substring(text, 1, greatest(length(text) - 20, 1)))) AS t
+      |  FROM documents WHERE doc_id < 50
+      |)""".stripMargin
+  /** Minhash signatures + LSH band candidates over `docs(id, t)` — CTE
+    * chain `shing/perm/sigrow/sigs/banded/cand`, ending open for a final
+    * SELECT. Band buckets join on the raw 4-long signature slice (the
+    * Spark side buckets on xxhash64 of that slice — equal slices give
+    * equal hashes, and a 2^-64 hash collision is the only divergence).
+    */
+  private val minhashCandSql: String = {
+    val fnv5 = (0 until 5).foldLeft(FnvOfs) { (acc, j) =>
+      s"(xor($acc, unicode(t[i+$j])::HUGEINT) * $FnvP) % $M64"
+    }
+    s"""$dupDocsSql,
+       |pos AS (SELECT id, t, unnest(range(1, greatest(length(t) - 3, 1))) AS i FROM docs),
+       |shing AS (SELECT DISTINCT id, $fnv5 AS h FROM pos),
+       |perm(pi, a, b) AS (SELECT * FROM (VALUES $permValuesSql)),
+       |sigrow AS (
+       |  SELECT s.id, p.pi, min(${signed64(s"(${mulMod64("p.a", "s.h")} + p.b) % $M64")}) AS sg
+       |  FROM shing s CROSS JOIN perm p GROUP BY s.id, p.pi
+       |),
+       |sigs AS (
+       |  SELECT d.id, coalesce(r.sig, (SELECT list(9223372036854775807::BIGINT) FROM range(64))) AS sig
+       |  FROM docs d LEFT JOIN (SELECT id, list(sg ORDER BY pi) AS sig FROM sigrow GROUP BY id) r USING (id)
+       |),
+       |banded AS (
+       |  SELECT id, b, sig[4*b+1:4*b+4] AS key FROM sigs, (SELECT unnest(range(0, 16)) AS b)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |  FROM banded x JOIN banded y ON x.b = y.b AND x.key = y.key AND x.id < y.id
+       |)""".stripMargin
+  }
+  /** Per-doc simhash over `docs(id, t)` (t already lower+trimmed) — CTE
+    * chain ending with `sig(id, simhash)`.
+    */
+  private val simhashSql: String =
+    s"""toks AS (
+       |  SELECT id, unnest(string_split_regex(t, '\\s+')) AS tok FROM docs WHERE length(t) > 0
+       |),
+       |th AS (SELECT id, ${fnvSql("tok")} AS h FROM toks),
+       |bits AS (
+       |  SELECT id, b, sum(CASE WHEN (h // (1::HUGEINT << b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+       |  FROM th, (SELECT unnest(range(0, 64)) AS b) GROUP BY id, b
+       |),
+       |sigu AS (
+       |  SELECT id, sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b)::HUGEINT ELSE 0::HUGEINT END) AS u
+       |  FROM bits GROUP BY id
+       |),
+       |sig AS (
+       |  SELECT d.id, coalesce(${signed64("s.u")}, 0) AS simhash FROM docs d LEFT JOIN sigu s USING (id)
+       |)""".stripMargin
+  /** Wilson score upper bound (same formula and op order as
+    * [[graft.carve.Stats.wilsonUpper]]) with the z for alpha=0.05
+    * interpolated from the Scala constant so both engines compare the
+    * identical double.
+    */
+  private def wilsonUpperSql(c: String, n: String): String = {
+    val z = graft.carve.Stats.zScore(0.05).toString
+    s"""least(1.0, greatest(0.0, ((($c)/($n)) + ($z*$z)/(2.0*($n))) / (1.0 + ($z*$z)/($n))
+       |  + ($z / (1.0 + ($z*$z)/($n))) * sqrt((($c)/($n))*(1.0-(($c)/($n)))/($n) + ($z*$z)/(4.0*($n)*($n)))))""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -550,6 +646,55 @@ object SparkEntry {
          SELECT p_idx, min(v) AS edge
          FROM probs, tot, cum
          WHERE cum >= CAST(floor(p_idx * 1.0 / 20 * (n - 1)) AS BIGINT) + 1
-         GROUP BY p_idx"""
+         GROUP BY p_idx""",
+    "q_fingerprint" ->
+      s"""SELECT doc_id, ${signed64(fnvSql("lower(trim(text))"))} AS fp FROM documents""",
+    "q_dedup_simhash" ->
+      s"""WITH docs AS (SELECT doc_id AS id, lower(trim(text)) AS t FROM documents),
+         $simhashSql
+         SELECT id AS doc_id, simhash FROM sig""",
+    "q_simhash_pairs" ->
+      s"""$dupDocsSql,
+         $simhashSql
+         SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.id < b.id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 7""",
+    "q_dedup_minhash" ->
+      s"""$minhashCandSql,
+         scored AS (
+           SELECT c.id_a, c.id_b,
+             len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / 64.0 AS est
+           FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+         )
+         SELECT id_a, id_b, round(est, 6) AS est_jaccard FROM scored WHERE est >= 0.5""",
+    "q_ngram_jaccard" ->
+      s"""$minhashCandSql,
+         shstr AS (
+           SELECT id, list_distinct([substr(t, i, 5) for i in range(1, greatest(length(t) - 3, 1))]) AS sh
+           FROM docs
+         ),
+         jac AS (
+           SELECT c.id_a, c.id_b,
+             CASE WHEN len(x.sh) = 0 AND len(y.sh) = 0 THEN 1.0
+                  ELSE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(list_distinct(x.sh || y.sh)) END AS jaccard
+           FROM cand c JOIN shstr x ON x.id = c.id_a JOIN shstr y ON y.id = c.id_b
+         )
+         SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.3""",
+    "q_nested_rollup" ->
+      s"""WITH d AS (
+           SELECT source || '_' || lang AS fine, source FROM documents
+         ),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+         fc AS (SELECT fine, source, CAST(count(*) AS DOUBLE) AS cnt FROM d GROUP BY 1, 2),
+         b1 AS (
+           SELECT fine, CASE WHEN ${wilsonUpperSql("cnt", "tot.n")} < 0.04 THEN source ELSE fine END AS b, cnt
+           FROM fc, tot
+         ),
+         bc AS (SELECT b, sum(cnt) AS bcnt FROM b1 GROUP BY b),
+         b2 AS (
+           SELECT bc.b, CASE WHEN ${wilsonUpperSql("bc.bcnt", "tot.n")} < 0.04 THEN '__OTHER__' ELSE bc.b END AS fb
+           FROM bc, tot
+         )
+         SELECT b1.fine AS raw, b2.fb AS bucket FROM b1 JOIN b2 ON b1.b = b2.b"""
   )
 }

@@ -58,11 +58,18 @@ object TextOps {
     round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
   }
 
-  /** 64-bit document fingerprint: xxhash64 (Spark-builtin, codegen'd,
-    * seed 42) over the normalized text. For near-dup shingle hashing see
-    * [[graft.dedup.Dedup]].
+  /** 64-bit document fingerprint: FNV-1a rolling hash over the normalized
+    * (lowercased, trimmed) text. FNV is used instead of Spark's builtin
+    * xxhash64 so the value is portable across engines — the correctness
+    * oracle recomputes it in plain SQL (modular HUGEINT arithmetic) and the
+    * dedup shingle hash ([[graft.dedup.Dedup.fnv1a]]) shares the kernel.
     */
-  def fingerprint(text: Column): Column = xxhash64(trim(lower(text)))
+  def fingerprint(text: Column): Column = {
+    val f = udf((s: String) =>
+      if (s == null) null.asInstanceOf[java.lang.Long]
+      else java.lang.Long.valueOf(graft.dedup.Dedup.fnv1a(s.toLowerCase.trim)))
+    f(text)
+  }
 
   /** Language-ID heuristic: score the token stream against per-language
     * marker-word profiles; emit the argmax language or "und" when nothing
