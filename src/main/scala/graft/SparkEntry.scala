@@ -186,7 +186,7 @@ object SparkEntry {
     "q_carve_fit" -> ((s, dir) => {
       val m = carveDocs(s, dir)
       val rows = m.kept.flatMap(f => f.rates.zipWithIndex.map { case (r, i) =>
-        (f.name, i.toLong, f.binLabels(i), BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+        (f.name, i.toLong, sortedLabel(f.binLabels(i)), BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
       })
       import s.implicits._
       rows.toDF("feature", "bin", "bin_label", "rate", "n")
@@ -206,7 +206,7 @@ object SparkEntry {
         BinaryCarver.FeatureSpec("lang", "categorical")
       ))
       val rows = m.kept.flatMap(f => f.rates.zipWithIndex.map { case (r, i) =>
-        (f.name, i.toLong, f.binLabels(i),
+        (f.name, i.toLong, sortedLabel(f.binLabels(i)),
           BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
       })
       import s.implicits._
@@ -223,7 +223,7 @@ object SparkEntry {
         BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
         BinaryCarver.FeatureSpec("lang", "categorical")))
       val rows = m.kept.flatMap(f => f.feature.rates.zipWithIndex.map { case (r, i) =>
-        (f.feature.name, i.toLong, f.feature.binLabels(i),
+        (f.feature.name, i.toLong, sortedLabel(f.feature.binLabels(i)),
           BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
       })
       import s.implicits._
@@ -240,7 +240,7 @@ object SparkEntry {
         BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
         BinaryCarver.FeatureSpec("lang", "categorical")))
       val rows = m.kept.flatMap(f => f.feature.rates.zipWithIndex.map { case (r, i) =>
-        (f.feature.name, i.toLong, f.feature.binLabels(i),
+        (f.feature.name, i.toLong, sortedLabel(f.feature.binLabels(i)),
           BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
       })
       import s.implicits._
@@ -257,7 +257,7 @@ object SparkEntry {
         BinaryCarver.FeatureSpec("lang", "categorical")))
       val rows = m.classes.flatMap { yClass =>
         m.perClass(yClass).kept.flatMap(f => f.rates.zipWithIndex.map { case (r, i) =>
-          (yClass, f.name, i.toLong, f.binLabels(i),
+          (yClass, f.name, i.toLong, sortedLabel(f.binLabels(i)),
             BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
         })
       }
@@ -349,6 +349,31 @@ object SparkEntry {
 
   /** deterministic binary label over documents for the carver queries */
   private def docLabel = when(col("n_chars") > 300, lit(1)).otherwise(lit(0))
+
+  /** Bin labels in order-insensitive form for the fixture oracle compare:
+    * categorical member lists are sorted (the engine orders members by
+    * target rate, the reference by its GroupedList insertion order — the
+    * SET is the semantic content); quantitative "(lo, hi]" labels pass
+    * through untouched.
+    */
+  private def sortedLabel(l: String): String =
+    if (l.startsWith("(")) l else l.split(", ").sorted.mkString(", ")
+
+  /** Cross-engine fixture oracle SQL (VALUES rows produced by EXECUTING the
+    * reference carvers on the sf0.01 documents table —
+    * tools/gen_carve_oracle.py); absent resource = no extra oracles.
+    */
+  private lazy val carveOracleSql: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/graft/carve_oracle_sql.json")
+    if (in == null) Map.empty
+    else try {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString) match {
+        case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+    } finally in.close()
+  }
 
   private def carveDocs(s: SparkSession, dir: String): graft.carve.BinaryCarver.Model = {
     import graft.carve.BinaryCarver
@@ -456,7 +481,7 @@ object SparkEntry {
        |  + ($z / (1.0 + ($z*$z)/($n))) * sqrt((($c)/($n))*(1.0-(($c)/($n)))/($n) + ($z*$z)/(4.0*($n)*($n)))))""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = carveOracleSql ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,

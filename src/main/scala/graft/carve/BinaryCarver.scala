@@ -55,7 +55,12 @@ object BinaryCarver {
       droppedReason: String,
       // continuous carver only: per-bin sample std (ddof=1) of y — the
       // Welch-drift reference for stability monitoring (M4)
-      stds: Vector[Double] = Vector.empty
+      stds: Vector[Double] = Vector.empty,
+      // user-declared ordinal features: the declared total value order —
+      // needed by the manual-override contiguity check
+      ordinalOrder: Vector[String] = Vector.empty,
+      // per-candidate search history (evaluation order); not serialized
+      history: Vector[Search.HistoryEntry] = Vector.empty
   ) {
     def nBins: Int = binLabels.length
   }
@@ -159,6 +164,220 @@ object BinaryCarver {
       copy(features = features.map(x => if (x.name == featureName) nf else x))
     }
 
+    // ------------------------------------------------------------------
+    // manual override surface beyond groupBins (reference
+    // `qualitative_feature.py:88-129`, `quantitative_feature.py:46-126`,
+    // `base_feature.py:274-303`): statistics of bins touched by a PARTIAL
+    // former bin become NaN — their true split is unknowable without a
+    // refit — while whole-bin moves aggregate exactly.
+    // ------------------------------------------------------------------
+
+    private def withFeature(featureName: String)(edit: FittedFeature => FittedFeature): Model = {
+      val f = features.find(_.name == featureName)
+        .getOrElse(throw new IllegalArgumentException(s"no feature $featureName"))
+      require(!f.dropped, s"$featureName was dropped")
+      copy(features = features.map(x => if (x.name == featureName) edit(x) else x))
+    }
+
+    private def nanRate(label: String): Search.RateRow =
+      Search.RateRow(label, Double.NaN, Double.NaN, Double.NaN)
+
+    /** Members (raw values) of a categorical bin, in bin-label order. */
+    private def membersOf(f: FittedFeature, bin: Int): Vector[String] =
+      f.binLabels(bin).split(", ").toVector.filter(m => f.valueToBin.get(m).contains(bin))
+
+    /** Moves ONE raw modality into the bin `toBin` (reference
+      * `qualitative_feature.move`). A value that was alone in its bin is a
+      * whole-bin merge (exact count-weighted statistics via groupBins);
+      * otherwise both touched bins' statistics become NaN. For ordinal
+      * features both bins must stay contiguous in the declared order.
+      */
+    def moveValue(featureName: String, value: String, toBin: Int): Model = withFeature(featureName) { f =>
+      require(f.kind != "quantitative", s"$featureName is quantitative — use splitBin/setBinBoundary")
+      val source = f.valueToBin.getOrElse(value,
+        throw new IllegalArgumentException(s"[$featureName] unknown value $value"))
+      require(toBin >= 0 && toBin < f.nBins, s"bin $toBin out of range (${f.nBins} bins)")
+      if (source == toBin) f
+      else if (f.valueToBin.count(_._2 == source) == 1 && f.nanBin != source && f.otherBin != source) {
+        // whole-bin move: delegate to the exact-aggregate merge
+        return groupBins(featureName, toBin, source)
+      } else {
+        val newLabels = f.binLabels.zipWithIndex.map {
+          case (l, b) if b == source => membersOf(f, b).filterNot(_ == value).mkString(", ")
+          case (l, b) if b == toBin => (membersOf(f, b) :+ value).mkString(", ")
+          case (l, _) => l
+        }
+        val nf = f.copy(
+          valueToBin = f.valueToBin.updated(value, toBin),
+          binLabels = newLabels,
+          rates = f.rates.zipWithIndex.map { case (r, b) =>
+            if (b == source || b == toBin) nanRate(r.label) else r
+          })
+        checkOrdinalContiguity(featureName, nf)
+        nf
+      }
+    }
+
+    /** Extracts one raw modality into its own NEW bin, appended after the
+      * existing bins (reference `qualitative_feature.ungroup`). No-op when
+      * the value is already alone; the former bin and the new singleton get
+      * NaN statistics (partial split).
+      */
+    def ungroupValue(featureName: String, value: String): Model = withFeature(featureName) { f =>
+      require(f.kind != "quantitative", s"$featureName is quantitative — use splitBin")
+      val source = f.valueToBin.getOrElse(value,
+        throw new IllegalArgumentException(s"[$featureName] unknown value $value"))
+      if (f.valueToBin.count(_._2 == source) == 1 && f.nanBin != source && f.otherBin != source) f
+      else {
+        val newBin = f.nBins
+        val nf = f.copy(
+          valueToBin = f.valueToBin.updated(value, newBin),
+          binLabels = f.binLabels.zipWithIndex.map {
+            case (l, b) if b == source => membersOf(f, b).filterNot(_ == value).mkString(", ")
+            case (l, _) => l
+          } :+ value,
+          rates = f.rates.zipWithIndex.map { case (r, b) =>
+            if (b == source) nanRate(r.label) else r
+          } :+ nanRate(value))
+        checkOrdinalContiguity(featureName, nf)
+        nf
+      }
+    }
+
+    /** Splits a quantitative interval bin in two at `at` (reference
+      * `quantitative_feature.split`): `at` must lie strictly inside the
+      * bin; the lower half keeps index `bin`, the upper half is inserted at
+      * `bin+1` (later bins shift up); both halves' statistics are NaN.
+      */
+    def splitBin(featureName: String, bin: Int, at: Double): Model = withFeature(featureName) { f =>
+      require(f.kind == "quantitative", s"$featureName is not quantitative")
+      require(bin >= 0 && bin < f.nBins && bin != f.nanBin, s"bin $bin out of range or the NaN bin")
+      val (lo, hi) = quantBounds(f, bin)
+      require(lo < at && at < hi, s"[$featureName] split point $at must lie strictly inside ($lo, $hi]")
+      // insert the new edge; prebins below `at` that mapped to `bin` stay at
+      // `bin` (lower half), the rest of the bin moves to bin+1; bins after
+      // shift up one
+      val insertPos = f.prebinEdges.indexWhere(_ >= at) match {
+        case -1 => f.prebinEdges.length
+        case p => p
+      }
+      val already = f.prebinEdges.lift(insertPos).contains(at)
+      val newEdges = if (already) f.prebinEdges
+        else (f.prebinEdges.take(insertPos) :+ at) ++ f.prebinEdges.drop(insertPos)
+      def shift(b: Int): Int = if (b > bin) b + 1 else b
+      // prebin p covers (edge(p-1), edge(p)] in the NEW edge space
+      val oldAssign = f.prebinToBin
+      val newAssign = Vector.tabulate(newEdges.length + 1) { p =>
+        val oldP = if (already || p <= insertPos) math.min(p, oldAssign.length - 1)
+          else p - 1
+        val b = oldAssign(oldP)
+        if (b != bin) shift(b)
+        else {
+          val upper = newEdges.lift(p).getOrElse(Double.PositiveInfinity)
+          if (upper <= at) bin else bin + 1
+        }
+      }
+      val nf = f.copy(
+        prebinEdges = newEdges,
+        prebinToBin = newAssign,
+        nanBin = if (f.nanBin < 0) f.nanBin else shift(f.nanBin),
+        binLabels = Vector.tabulate(f.nBins + 1)(b => quantLabelOf(newEdges, newAssign, b, if (f.nanBin < 0) -1 else shift(f.nanBin))),
+        rates = f.rates.patch(bin, Seq(
+          nanRate(quantLabelOf(newEdges, newAssign, bin, if (f.nanBin < 0) -1 else shift(f.nanBin))),
+          nanRate(quantLabelOf(newEdges, newAssign, bin + 1, if (f.nanBin < 0) -1 else shift(f.nanBin)))), 1))
+      nf
+    }
+
+    /** Moves the upper boundary of bin `bin` to `at` (reference
+      * `quantitative_feature.set_boundary`): shrinks or grows against the
+      * NEXT bin; not allowed on the last (+inf) bin; both touched bins'
+      * statistics become NaN.
+      */
+    def setBinBoundary(featureName: String, bin: Int, at: Double): Model = withFeature(featureName) { f =>
+      require(f.kind == "quantitative", s"$featureName is not quantitative")
+      require(bin >= 0 && bin < f.nBins && bin != f.nanBin, s"bin $bin out of range or the NaN bin")
+      val (lo, hi) = quantBounds(f, bin)
+      require(!hi.isPosInfinity, s"[$featureName] cannot move the +inf upper bound of the last bin")
+      if (at == hi) f
+      else {
+        // the next interval bin (skip the NaN bin if it sits between)
+        val next = (bin + 1 until f.nBins).find(b => b != f.nanBin && f.prebinToBin.contains(b))
+          .getOrElse(throw new IllegalArgumentException(s"[$featureName] no bin above $bin"))
+        val (_, nextHi) = quantBounds(f, next)
+        require(lo < at && at < nextHi,
+          s"[$featureName] new boundary $at must lie in ($lo, $nextHi)")
+        val insertPos = f.prebinEdges.indexWhere(_ >= at) match {
+          case -1 => f.prebinEdges.length
+          case p => p
+        }
+        val already = f.prebinEdges.lift(insertPos).contains(at)
+        val newEdges = if (already) f.prebinEdges
+          else (f.prebinEdges.take(insertPos) :+ at) ++ f.prebinEdges.drop(insertPos)
+        val oldAssign = f.prebinToBin
+        val newAssign = Vector.tabulate(newEdges.length + 1) { p =>
+          val oldP = if (already || p <= insertPos) math.min(p, oldAssign.length - 1) else p - 1
+          val b = oldAssign(oldP)
+          if (b != bin && b != next) b
+          else {
+            val upper = newEdges.lift(p).getOrElse(Double.PositiveInfinity)
+            if (upper <= at) bin else next
+          }
+        }
+        f.copy(
+          prebinEdges = newEdges,
+          prebinToBin = newAssign,
+          binLabels = Vector.tabulate(f.nBins)(b => quantLabelOf(newEdges, newAssign, b, f.nanBin)),
+          rates = f.rates.zipWithIndex.map { case (r, b) =>
+            if (b == bin || b == next) nanRate(quantLabelOf(newEdges, newAssign, b, f.nanBin)) else r
+          })
+      }
+    }
+
+    /** (lo, hi] bounds of a quantitative bin from its prebin assignment. */
+    private def quantBounds(f: FittedFeature, bin: Int): (Double, Double) = {
+      val idxs = f.prebinToBin.zipWithIndex.collect { case (b, p) if b == bin => p }
+      require(idxs.nonEmpty, s"bin $bin holds no interval")
+      val lo = if (idxs.min == 0) Double.NegativeInfinity else f.prebinEdges(idxs.min - 1)
+      val hi = if (idxs.max >= f.prebinEdges.length) Double.PositiveInfinity else f.prebinEdges(idxs.max)
+      (lo, hi)
+    }
+
+    private def quantLabelOf(edges: Vector[Double], assign: Vector[Int], bin: Int, nanBin: Int): String = {
+      val idxs = assign.zipWithIndex.collect { case (b, p) if b == bin => p }
+      if (idxs.isEmpty) return if (bin == nanBin) NanLabel else ""
+      val lo = if (idxs.min == 0) "-inf" else fmt(edges(idxs.min - 1))
+      val hi = if (idxs.max >= edges.length) "+inf" else fmt(edges(idxs.max))
+      val base = s"($lo, $hi]"
+      if (bin == nanBin) s"$base or $NanLabel" else base
+    }
+
+    /** Ordinal features: every bin's member set must stay contiguous in the
+      * user-declared order (reference `_check_contiguity`).
+      */
+    private def checkOrdinalContiguity(featureName: String, f: FittedFeature): Unit = {
+      if (f.kind != "ordinal" || f.ordinalOrder.isEmpty) return
+      val pos = f.ordinalOrder.zipWithIndex.toMap
+      f.valueToBin.groupBy(_._2).foreach { case (bin, kvs) =>
+        val ps = kvs.keys.flatMap(pos.get).toVector.sorted
+        if (ps.nonEmpty && ps.last - ps.head + 1 != ps.length)
+          throw new IllegalArgumentException(
+            s"[$featureName] bin $bin is no longer contiguous in the declared ordinal order")
+      }
+    }
+
+    /** Search history as a frame (reference `feature.history`): one row per
+      * TESTED candidate combination, in evaluation order per feature.
+      */
+    def history(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      features.flatMap(f => f.history.zipWithIndex.map { case (h, i) =>
+        (f.name, i, h.combination.map(_.mkString("[", ", ", "]")).mkString(" | "),
+          h.cramerv, h.tschuprowt, h.nMod, h.viable, h.minFreqOk, h.distinctOk,
+          h.orderingOk, h.withNan, h.info)
+      }).toDF("feature", "rank", "combination", "cramerv", "tschuprowt", "n_mod",
+        "viable", "min_freq_ok", "distinct_rates_ok", "ordering_ok", "dropna", "info")
+    }
+
     def toJson: String = Json.writeModel(this)
     def save(path: String): Unit = {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), toJson)
@@ -208,6 +427,36 @@ object BinaryCarver {
     }.flatten.toSeq
   }
 
+  /** Full input audit (S1, reference `base_carver._prepare_samples` +
+    * `dataframe_sample.check_features`): declared columns present, no
+    * duplicate declarations, target not declared as a feature, dtypes
+    * compatible with the declared kind. Pure schema checks — O(1), no job.
+    */
+  def validateInputs(df: DataFrame, target: String, specs: Seq[FeatureSpec]): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(specs.nonEmpty, "no features to carve")
+    val dupes = specs.groupBy(_.name).collect { case (n, ss) if ss.length > 1 => n }
+    require(dupes.isEmpty, s"duplicate feature declarations: ${dupes.mkString(", ")}")
+    require(!specs.exists(_.name == target), s"target '$target' is also declared as a feature")
+    require(schema.contains(target), s"target column '$target' not in frame")
+    specs.foreach { s =>
+      val dt = schema.getOrElse(s.name,
+        throw new IllegalArgumentException(s"feature column '${s.name}' not in frame"))
+      s.kind match {
+        case "quantitative" => require(dt.isInstanceOf[NumericType],
+          s"quantitative feature '${s.name}' has non-numeric type ${dt.simpleString}")
+        case "categorical" | "ordinal" => require(
+          dt.isInstanceOf[StringType] || dt.isInstanceOf[NumericType] || dt.isInstanceOf[BooleanType],
+          s"${s.kind} feature '${s.name}' has unsupported type ${dt.simpleString}")
+        case other => throw new IllegalArgumentException(
+          s"feature '${s.name}': unknown kind '$other' (quantitative | categorical | ordinal)")
+      }
+      if (s.kind == "ordinal")
+        require(s.ordinalOrder.nonEmpty, s"ordinal feature '${s.name}' needs a declared value order")
+    }
+  }
+
   // ------------------------------------------------------------------- fit
 
   final case class Config(
@@ -233,7 +482,11 @@ object BinaryCarver {
       // their approxQuantile(q) buckets, so the collected histogram stays
       // O(q) regardless of raw cardinality (the 10^12-row path). 0 disables.
       sketchCardinalityThreshold: Long = 2000000L,
-      sketchRelativeError: Double = 0.0001
+      sketchRelativeError: Double = 0.0001,
+      // per-candidate search history (reference `_historize_combination`) —
+      // driver-side bookkeeping, bounded by the number of TESTED candidates
+      // (the walk stops at the first viable one)
+      history: Boolean = true
   )
 
   def fit(
@@ -243,6 +496,7 @@ object BinaryCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config()
   ): Model = {
+    validateInputs(train, target, specs)
     val sketched = sketchHighCardinality(train, specs, config)
     // cv>1 shares ONE scan between the train histogram and all fold views
     // (fold key = one more groupBy column; the total is the fold sum)
@@ -613,10 +867,13 @@ object BinaryCarver {
 
   private[carve] def searchFeature(spec: FeatureSpec, p: Prep, devXagg: Option[Search.Xagg], config: Config,
       folds: Seq[Search.Xagg] = Nil): FittedFeature = {
+    val histBuf =
+      if (config.history) mutable.ArrayBuffer.empty[Search.HistoryEntry] else null
     def run(minFreq: Option[Double]) = Search.bestCombination(
       p.xagg, devXagg, config.maxNMod, minFreq, config.minFreqAlpha,
       config.sortBy, p.hasNan, NanLabel, dropna = true,
-      config.topKInitial, config.escalate, folds = folds, rateStrategy = config.rateStrategy)
+      config.topKInitial, config.escalate, folds = folds, rateStrategy = config.rateStrategy,
+      histSink = histBuf, rescueMode = minFreq.isEmpty)
     val normal = run(Some(config.minFreq))
     // rescue-rare rerun (`combination_evaluator.py:507-516`): min_freq waived,
     // distinct-rates + ordering still enforced on every validation view
@@ -628,7 +885,8 @@ object BinaryCarver {
       case None =>
         FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,
           -1, -1, p.hasNan, p.hasDefault, Vector.empty, Double.NaN, Double.NaN,
-          Vector.empty, dropped = true, droppedReason = "no viable combination")
+          Vector.empty, dropped = true, droppedReason = "no viable combination",
+          history = if (histBuf == null) Vector.empty else histBuf.toVector)
       case Some(b) =>
         // final bin index per search label
         val labelToBin: Map[String, Int] =
@@ -639,7 +897,8 @@ object BinaryCarver {
           val binLabels = quantBinLabels(b.combination, p, nanBin)
           FittedFeature(spec.name, p.kind, p.prebinEdges, prebinToBin, Map.empty,
             nanBin, -1, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
-            b.rates, dropped = false, droppedReason = "")
+            b.rates, dropped = false, droppedReason = "",
+            history = if (histBuf == null) Vector.empty else histBuf.toVector)
         } else {
           val valueToBin = p.valueToRaw.collect {
             case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
@@ -651,7 +910,9 @@ object BinaryCarver {
             g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
           FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
             nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
-            b.rates, dropped = false, droppedReason = "")
+            b.rates, dropped = false, droppedReason = "",
+            ordinalOrder = if (p.kind == "ordinal") spec.ordinalOrder.toVector else Vector.empty,
+            history = if (histBuf == null) Vector.empty else histBuf.toVector)
         }
     }
   }

@@ -25,7 +25,7 @@ object ContinuousCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config(sortBy = "kruskal")
   ): Model = {
-    require(specs.nonEmpty, "no features to carve")
+    BinaryCarver.validateInputs(train, target, specs)
     val halfMinFreq = config.minFreq / 2.0
     val q = math.rint(1.0 / halfMinFreq).toInt
 

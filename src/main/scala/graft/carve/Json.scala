@@ -54,7 +54,8 @@ object Json {
           ("frequency" -> num(r.frequency)) ~ ("count" -> num(r.count)))) ~
         ("dropped" -> f.dropped) ~
         ("dropped_reason" -> f.droppedReason) ~
-        ("stds" -> f.stds.map(num))
+        ("stds" -> f.stds.map(num)) ~
+        ("ordinal_order" -> f.ordinalOrder)
       })
     JsonMethods.pretty(JsonMethods.render(json))
   }
@@ -93,7 +94,8 @@ object Json {
         ).toVector,
         dropped = bool(f \ "dropped"),
         droppedReason = str(f \ "dropped_reason"),
-        stds = arr(f \ "stds").map(numOf).toVector
+        stds = arr(f \ "stds").map(numOf).toVector,
+        ordinalOrder = arr(f \ "ordinal_order").map(_.values.toString).toVector
       )
     }.toVector
     BinaryCarver.Model(

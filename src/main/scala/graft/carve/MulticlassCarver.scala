@@ -154,6 +154,7 @@ object MulticlassCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config()
   ): Model = {
+    BinaryCarver.validateInputs(train, target, specs)
     val sketched = BinaryCarver.sketchHighCardinality(train, specs,
       BinaryCarver.Config(minFreq = config.minFreq,
         sketchCardinalityThreshold = config.sketchCardinalityThreshold,
@@ -486,6 +487,7 @@ object OneVsRestCarver {
       dev: Option[DataFrame] = None,
       config: BinaryCarver.Config = BinaryCarver.Config()
   ): Model = {
+    BinaryCarver.validateInputs(train, target, specs)
     val sketched = BinaryCarver.sketchHighCardinality(train, specs, config)
     // the class-histogram scan also yields the class set: no distinct() pass.
     // cv>1 folds share the same scan (fold key = one more groupBy column);

@@ -156,6 +156,7 @@ object OrdinalCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config()
   ): Model = {
+    BinaryCarver.validateInputs(train, target, specs)
     val sketched = BinaryCarver.sketchHighCardinality(train, specs,
       BinaryCarver.Config(minFreq = config.minFreq,
         sketchCardinalityThreshold = config.sketchCardinalityThreshold,

@@ -135,6 +135,23 @@ object Search {
     result
   }
 
+  /** One evaluated candidate combination — the per-feature search history
+    * (reference `combination_evaluator.py:774-850` `_historize_combination`):
+    * every tested grouping with its association and the per-test viability
+    * flags, in evaluation order.
+    */
+  final case class HistoryEntry(
+      combination: Vector[Vector[String]],
+      cramerv: Double,
+      tschuprowt: Double,
+      nMod: Int,
+      viable: Boolean,
+      minFreqOk: Boolean,
+      distinctOk: Boolean,
+      orderingOk: Boolean,
+      withNan: Boolean,
+      info: String)
+
   /** Result of a feature search: the winning partition over the search
     * labels plus its association metrics.
     */
@@ -166,8 +183,24 @@ object Search {
       escalate: Boolean = true,
       tol: Double = 1e-10,
       folds: Seq[Xagg] = Nil,
-      rateStrategy: String = "target_mean"
+      rateStrategy: String = "target_mean",
+      // when non-null, every evaluated candidate is appended (history)
+      histSink: mutable.Buffer[HistoryEntry] = null,
+      rescueMode: Boolean = false
   ): Option[Best] = {
+    def historize(combo: Vector[Vector[String]], cv: Double, tt: Double,
+        v: Viability, withNan: Boolean): Unit = {
+      if (histSink == null) return
+      val info =
+        if (!v.viable) "Not viable"
+        else {
+          val base = s"Best for $sortBy and max_n_mod=$maxNMod"
+          val d = if (withNan) base + " (dropna=True)" else base
+          if (rescueMode) d + " (rescue: min_freq waived)" else d
+        }
+      histSink += HistoryEntry(combo, cv, tt, combo.length, v.viable,
+        v.minFreqOk, v.distinctOk, v.orderingOk, withNan, info)
+    }
     // ---- phase 1: non-nan consecutive partitions -------------------------
     val rawLabels0 = if (hasNan && dropna) train.labels.filterNot(_ == nanLabel) else train.labels
     val trainNoNan = if (hasNan) train.without(nanLabel) else train
@@ -180,6 +213,7 @@ object Search {
         val c = cands(i)
         val v = testViability(trainX.grouped(c.indexToGroupby), devX.map(_.grouped(c.indexToGroupby)),
           minFreq, alpha, foldsX.map(_.grouped(c.indexToGroupby)), rateStrategy)
+        historize(c.combination, c.cramerv, c.tschuprowt, v, withNan = false)
         if (v.viable) return (Some(cands(i)), i + 1)
         i += 1
       }
@@ -229,6 +263,7 @@ object Search {
         val g = train.grouped(cand.indexToGroupby)
         val v = testViability(g, dev.map(_.grouped(cand.indexToGroupby)), minFreq, alpha,
           folds.map(_.grouped(cand.indexToGroupby)), rateStrategy)
+        historize(combo, Double.NaN, Double.NaN, v, withNan = true)
         if (v.viable) {
           val aligned = alignCounts(train, train.labels)
           val (cv, tt) = Dp.chi2AssocForCombination(
@@ -274,6 +309,7 @@ object Search {
           val g = mergedTrain.grouped(idx)
           val v = testViability(g, mergedDev.map(_.grouped(idx)), minFreq, alpha,
             mergedFolds.map(_.grouped(idx)), rateStrategy)
+          historize(variant, cv, tt, v, withNan = true)
           if (v.viable) { nanWinner = Some((variant, cv, tt)); found = true }
         }
         i += 1

@@ -16,6 +16,19 @@ import graft.text.TextOps
   */
 object PagePipeline {
 
+  /** Stage timer (stderr, only under BENCH_DEBUG) — the scaling bench's
+    * fixed-vs-parallel cost attribution.
+    */
+  private def timed[T](name: String)(f: => T): T = {
+    if (!sys.env.contains("BENCH_DEBUG")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[pipeline] $name%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   /** Scan-side projection (no shuffle): every text/time-derived scalar,
     * heavy payload columns dropped — the window exchanges must never carry
     * the html/text bytes (at 100 TB the payload dominates shuffle volume).
@@ -23,7 +36,7 @@ object PagePipeline {
   def scanFrame(pages: DataFrame): DataFrame =
     graft.carve.DatetimeFeatures.withTimedeltas(
       pages
-        .withColumn("host", regexp_extract(col("url"), "https://([^/]+)/", 1))
+        .withColumn("host", substring_index(substring_index(col("url"), "/", 3), "/", -1))
         .withColumn("text_len", length(col("text")).cast("double"))
         .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double")),
       Seq(graft.carve.DatetimeFeatures.DatetimeSpec("warc_ts", "2024-01-01", as = "warc_age_sec")))
@@ -82,18 +95,24 @@ object PagePipeline {
       // projection — no window shuffle, just the parquet scan.
       val scanOnly = scanFrame(guarded)
       val sketchSpecs = specs.filter(s => scanOnly.columns.contains(s.name))
-      val sketched = BinaryCarver.sketchHighCardinality(scanOnly, sketchSpecs,
-        config.copy(sketchCardinalityThreshold = math.min(config.sketchCardinalityThreshold, 100000L)))
+      // sketch accuracy: the prebin only needs quantile edges well inside a
+      // min_freq/2 = 1% bucket; eps=1e-3 is 10x finer than needed and keeps
+      // the per-partition GK sketches ~100x smaller than the 1e-4 default —
+      // at 1e-4 the single-task sketch MERGE dominated and ANTI-scaled with
+      // cluster width (more scan splits = more partials to merge)
+      val sketched = timed("sketch")(BinaryCarver.sketchHighCardinality(scanOnly, sketchSpecs,
+        config.copy(sketchCardinalityThreshold = math.min(config.sketchCardinalityThreshold, 100000L),
+          sketchRelativeError = math.max(config.sketchRelativeError, 0.001))))
       val train = featureFrame(guarded).withColumn("y", label)
-      val hist = BinaryCarver.histogram(train, "y", specs, sketched)
-      val json = HistJson.write(hist)
+      val hist = timed("histogram")(BinaryCarver.histogram(train, "y", specs, sketched))
+      val json = timed("hist-json")(HistJson.write(hist))
       IcebergLite.saveCheckpoint(table, IcebergLite.Checkpoint("hist", manifest.snapshotId, cfgHash, json))
       json
     }
 
     val modelJson = IcebergLite.loadCheckpoint(table, "model", manifest.snapshotId, cfgHash).getOrElse {
       computed += "model"
-      val model = BinaryCarver.fitFromHistograms(HistJson.read(histJson), None, "y", specs, config)
+      val model = timed("dp-fit")(BinaryCarver.fitFromHistograms(HistJson.read(histJson), None, "y", specs, config))
       val json = model.toJson
       IcebergLite.saveCheckpoint(table, IcebergLite.Checkpoint("model", manifest.snapshotId, cfgHash, json))
       json

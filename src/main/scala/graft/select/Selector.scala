@@ -132,6 +132,24 @@ object Selector {
     }.toMap
   }
 
+  /** "Distance" ranking measure (F2) — the reference's DistanceMeasure
+    * (`selectors/measures/quantitative_measures.py:272-288`) is
+    * `scipy.spatial.distance.correlation(x, y) - 1`, and scipy's
+    * correlation DISTANCE is `1 - pearson`, so the measure is exactly
+    * `-pearson` over the feature's non-null rows. Shares the one batched
+    * aggregation with [[quantitativeMetrics]]'s Pearson — no extra job.
+    */
+  def distanceByFeature(df: DataFrame, target: String, quants: Seq[String]): Map[String, Double] = {
+    if (quants.isEmpty) return Map.empty
+    val y = col(target).cast("double")
+    val aggs = quants.map { n => safeCorr(col(n).cast("double"), y).as(s"${n}__corr") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    quants.map { n =>
+      val pearson = Option(row.getAs[java.lang.Double](s"${n}__corr")).map(_.toDouble).getOrElse(Double.NaN)
+      n -> -pearson
+    }.toMap
+  }
+
   /** Spearman rho per feature vs the target, over rows where the feature is
     * non-null. Average-rank (tie-corrected) formulation as the Pearson
     * correlation of rank transforms, computed entirely from grouped counts:

@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Whitespace token count; 0 for empty/blank strings. */
+  /** Whitespace token count; 0 for empty/blank strings, null for null.
+    * Codegen'd single-scan expression — no per-row token array
+    * (`size(split(...))` allocates one; see
+    * [[graft.transform.TokenCount]] for the scaling rationale).
+    */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0L))
-      .otherwise(size(split(trim(text), "\\s+")).cast("long"))
+    graft.transform.TokenCount.column(text)
 
   /** Character count of non-[a-zA-Z0-9\s] characters (punctuation-ish). */
   def punctCount(text: Column): Column =

@@ -112,4 +112,23 @@ class BinaryCarverSpec extends SparkSuite {
       Seq(BinaryCarver.FeatureSpec("x", "quantitative")))
     assert(m.toJson == m2.toJson, "zero-leakage: guarded fit == sliced fit")
   }
+
+  test("S1 input audit: missing/duplicate/mistyped declarations raise") {
+    val d = Seq((1.0, "a", 0), (2.0, "b", 1)).toDF("x", "c", "y")
+    val q = BinaryCarver.FeatureSpec("x", "quantitative")
+    intercept[IllegalArgumentException](
+      BinaryCarver.validateInputs(d, "y", Seq(BinaryCarver.FeatureSpec("nope", "quantitative"))))
+    intercept[IllegalArgumentException](BinaryCarver.validateInputs(d, "y", Seq(q, q)))
+    intercept[IllegalArgumentException](
+      BinaryCarver.validateInputs(d, "y", Seq(BinaryCarver.FeatureSpec("y", "quantitative"))))
+    intercept[IllegalArgumentException](
+      BinaryCarver.validateInputs(d, "y", Seq(BinaryCarver.FeatureSpec("c", "quantitative"))))
+    intercept[IllegalArgumentException](
+      BinaryCarver.validateInputs(d, "y", Seq(BinaryCarver.FeatureSpec("x", "wat"))))
+    intercept[IllegalArgumentException](
+      BinaryCarver.validateInputs(d, "y", Seq(BinaryCarver.FeatureSpec("c", "ordinal"))))
+    intercept[IllegalArgumentException](
+      BinaryCarver.validateInputs(d, "nope", Seq(q)))
+    BinaryCarver.validateInputs(d, "y", Seq(q, BinaryCarver.FeatureSpec("c", "categorical")))
+  }
 }

@@ -18,6 +18,18 @@ class SelectorMeasuresSpec extends SparkSuite {
     rows.toDF("id", "signal", "noise", "outliery", "y")
   }
 
+  test("distance measure (F2): exactly -pearson, NaN on constant") {
+    val d = Selector.distanceByFeature(df, "y", Seq("signal", "noise"))
+    val q = Selector.quantitativeMetrics(df, "y", Seq("signal", "noise"))
+    // distance correlation of the reference = scipy correlation distance - 1
+    // = (1 - r) - 1 = -r
+    assert(math.abs(d("signal") + q("signal").association) < 1e-12 ||
+      math.abs(d("signal")) == q("signal").association) // association stores |r|
+    assert(d("signal") < 0) // signal correlates positively with y -> -r < 0
+    val const = df.withColumn("c", lit(1.0))
+    assert(Selector.distanceByFeature(const, "y", Seq("c"))("c").isNaN)
+  }
+
   test("kruskal H: signal >> noise; effect sizes bounded") {
     val k = Selector.kruskalByFeature(df, "y", Seq("signal", "noise"))
     assert(k("signal").h > k("noise").h)

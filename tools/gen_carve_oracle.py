@@ -1,0 +1,174 @@
+#!/usr/bin/env python3
+"""Execute the REFERENCE carvers on the sf0.01 documents table with the same
+configs as SparkEntry's q_carve_* queries; emit expected rows as DuckDB
+VALUES-oracle SQL into src/main/resources/graft/carve_oracle_sql.json.
+
+Provenance: every rate/count/boundary/code in the emitted SQL is REFERENCE
+OUTPUT (AutoCarver executed via tools/scishim.py numpy stand-ins for the
+scipy/sklearn statistic calls), NOT engine output — this is the cross-engine
+fixture oracle VERDICT.md round-2 item 9 prescribes. Labels are rendered from
+the reference's raw bin contents with the engine's formatting conventions
+(categorical members sorted for order-insensitivity; quantitative edges via
+BinaryCarver.fmt semantics)."""
+import json
+import math
+import re
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, '/root/repo/tools')
+import refload
+
+AC = refload.load()
+from AutoCarver.features import Features
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = "/root/repo/src/main/resources/graft/carve_oracle_sql.json"
+docs = pd.read_parquet(f"{SF}/documents.parquet").sort_values("doc_id").reset_index(drop=True)
+
+def token_count(s):
+    s = s.strip()
+    return 0 if not s else len(re.split(r"\s+", s))
+
+docs["n_tokens"] = docs["text"].map(token_count).astype(float)
+
+def fmt_num(d):
+    """engine BinaryCarver.fmt: integral -> Long string, else Java %.6g."""
+    if d == float(int(d)) and abs(d) < 1e15:
+        return str(int(d))
+    s = "%.6g" % d
+    return s
+
+def rnd6(x):
+    """engine BigDecimal(...).setScale(6, HALF_EVEN) on a double."""
+    if isinstance(x, float) and math.isnan(x):
+        return float("nan")
+    return float(round(float(x), 6))
+
+def feature_labels(f):
+    """bin label strings (engine conventions) per label index, from the
+    reference fitted feature's raw GroupedList content."""
+    content = f.values.content
+    if getattr(f, "is_quantitative", False):
+        out, lo = [], "-inf"
+        for leader, grp in content.items():
+            hi = max(v for v in grp if isinstance(v, (int, float)))
+            hi_s = "+inf" if np.isinf(hi) else fmt_num(hi)
+            out.append(f"({lo}, {hi_s}]")
+            if not np.isinf(hi):
+                lo = hi_s
+        return out
+    # categorical: members sorted (order-insensitive compare on both sides)
+    return [", ".join(sorted(str(m) for m in grp)) for grp in content.values()]
+
+def sql_values(rows, cols, types):
+    def lit(v, t):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return f"NULL::{t}"
+        if t == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        if t == "DOUBLE":
+            return repr(float(v)) + "::DOUBLE"
+        return str(int(v)) + f"::{t}"
+    vals = ",\n".join("(" + ", ".join(lit(v, t) for v, t in zip(r, types)) + ")" for r in rows)
+    collist = ", ".join(cols)
+    return f"SELECT * FROM (VALUES {vals}) AS t({collist})"
+
+oracle = {}
+
+y_bin = (docs["n_chars"] > 300).astype(int)
+y_ord = (1 + (docs["n_chars"] > 150).astype(int) + (docs["n_chars"] > 300).astype(int)
+         + (docs["n_chars"] > 450).astype(int))
+y_mc = np.where(docs["n_chars"] > 350, "high", np.where(docs["n_chars"] > 200, "mid", "low"))
+
+def fit_rows(carver, feature_names, rate_col="target_mean"):
+    """(feature, bin, bin_label, rate, n) rows in the engine's q_carve shape,
+    from the fitted reference carver's summary + raw contents."""
+    summ = carver.summary.reset_index()
+    rows = []
+    for fname in feature_names:
+        f = [x for x in carver.features if x.name == fname][0]
+        labels = feature_labels(f)
+        sub = summ[summ["feature"].str.contains(f"'{fname}'")]
+        for _, r in sub.iterrows():
+            i = int(r["label"])
+            rows.append((fname, i, labels[i], rnd6(r[rate_col]), int(round(r["count"]))))
+    return rows
+
+# ------------------------------------------------------------- q_carve_fit
+X = docs[["n_chars", "lang", "source"]].copy(); X["n_chars"] = X["n_chars"].astype(float)
+feats = Features(categoricals=["lang", "source"], numericals=["n_chars"])
+bc = AC.BinaryCarver(feats, min_freq=0.02, max_n_mod=5)
+bc.fit(X.copy(), y_bin)
+rows = fit_rows(bc, ["n_chars", "lang", "source"])
+oracle["q_carve_fit"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "rate", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_fit rows:", len(rows))
+
+# ------------------------------------------------------- q_carve_transform
+codes = bc.transform(X.copy())
+trows = [(int(d), int(a), int(b), int(c)) for d, a, b, c in
+         zip(docs["doc_id"], codes["n_chars"], codes["lang"], codes["source"])]
+oracle["q_carve_transform"] = sql_values(trows,
+    ["doc_id", "n_chars_bin", "lang_bin", "source_bin"],
+    ["BIGINT", "INTEGER", "INTEGER", "INTEGER"])
+print("q_carve_transform rows:", len(trows))
+
+# ------------------------------------------------------ q_carve_continuous
+Xc = docs[["n_chars", "lang"]].copy(); Xc["n_chars"] = Xc["n_chars"].astype(float)
+cc = AC.ContinuousCarver(Features(categoricals=["lang"], numericals=["n_chars"]),
+                         min_freq=0.02, max_n_mod=5)
+cc.fit(Xc.copy(), docs["n_tokens"])
+rows = fit_rows(cc, ["n_chars", "lang"])
+oracle["q_carve_continuous"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "mean_y", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_continuous rows:", len(rows))
+
+# --------------------------------------------------------- q_carve_ordinal
+Xo = docs[["n_tokens", "lang"]].copy()
+oc = AC.OrdinalCarver(Features(categoricals=["lang"], numericals=["n_tokens"]),
+                      min_freq=0.02, max_n_mod=5)
+oc.fit(Xo.copy(), y_ord)
+rows = fit_rows(oc, ["n_tokens", "lang"], rate_col="target_mean_ridit")
+oracle["q_carve_ordinal"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "mean_ridit", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_ordinal rows:", len(rows))
+
+# ------------------------------------------------------ q_carve_multiclass
+mc = AC.MulticlassCarver(Features(categoricals=["lang"], numericals=["n_tokens"]),
+                         min_freq=0.02, max_n_mod=5)
+mc.fit(Xo.copy(), pd.Series(y_mc))
+rows = fit_rows(mc, ["n_tokens", "lang"], rate_col="ca_score")
+oracle["q_carve_multiclass"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "ca_score", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_multiclass rows:", len(rows))
+
+# ------------------------------------------------------------- q_carve_ovr
+ovr = AC.OneVsRestCarver(Features(categoricals=["lang"], numericals=["n_tokens"]),
+                         min_freq=0.02, max_n_mod=5)
+ovr.fit(Xo.copy(), pd.Series(y_mc))
+osumm = ovr.summary.reset_index()
+orows = []
+for f in ovr.features:
+    m = re.match(r"^(.*)__y=(.*)$", f.name)
+    if not m:
+        continue
+    base, ycls = m.group(1), m.group(2)
+    labels = feature_labels(f)
+    sub = osumm[osumm["feature"].str.contains(f"'{re.escape(f.name)}'", regex=True)]
+    for _, r in sub.iterrows():
+        i = int(r["label"])
+        orows.append((ycls, base, i, labels[i], rnd6(r["target_mean"]), int(round(r["count"]))))
+oracle["q_carve_ovr"] = sql_values(orows,
+    ["y_class", "feature", "bin", "bin_label", "rate", "n"],
+    ["VARCHAR", "VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_ovr rows:", len(orows))
+
+json.dump(oracle, open(OUT, "w"), indent=1)
+print("wrote", OUT, "entries:", list(oracle))
