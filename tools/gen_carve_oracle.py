@@ -156,12 +156,13 @@ ovr.fit(Xo.copy(), pd.Series(y_mc))
 osumm = ovr.summary.reset_index()
 orows = []
 for f in ovr.features:
-    m = re.match(r"^(.*)__y=(.*)$", f.name)
+    # the per-class feature carries the class in `version` ("lang__y=low")
+    m = re.match(r"^(.*)__y=(.*)$", f.version)
     if not m:
         continue
     base, ycls = m.group(1), m.group(2)
     labels = feature_labels(f)
-    sub = osumm[osumm["feature"].str.contains(f"'{re.escape(f.name)}'", regex=True)]
+    sub = osumm[osumm["feature"].str.contains(f"'{re.escape(f.version)}'", regex=True)]
     for _, r in sub.iterrows():
         i = int(r["label"])
         orows.append((ycls, base, i, labels[i], rnd6(r["target_mean"]), int(round(r["count"]))))
