@@ -266,14 +266,20 @@ object SparkEntry {
     }),
     // ------------------------------------------------------------- selector
     "q_select" -> ((s, dir) => {
+      // the reference ClassificationSelector shape: task preset measures
+      // (Kruskal-eta2 for quantitatives, Tschuprow's T for qualitatives)
+      // with ONE total budget largest-remainder-split across kinds; the
+      // kept/dropped statuses are fixture-oracled against an actual
+      // reference ClassificationSelector(n_best_features=2) run
       val df = Tables.documents(s, dir).withColumn("y", docLabel)
-      val sel = graft.select.Selector.select(df, "y",
+      val sel = graft.select.Selector.selectTask(df, "y",
         quants = Seq("n_chars", "doc_id"), quals = Seq("lang", "source"),
-        config = graft.select.Selector.Config(nBest = 2))
+        task = "classification",
+        config = graft.select.Selector.Config(totalBudget = Some(2)))
       import s.implicits._
       (sel.kept.map(m => (m.name, m.kind, "kept",
           BigDecimal(m.association).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)) ++
-        sel.dropped.map { case (m, r) => (m.name, m.kind, s"dropped:$r",
+        sel.dropped.map { case (m, _) => (m.name, m.kind, "dropped",
           BigDecimal(if (m.association.isNaN) -1 else m.association)
             .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble) })
         .toDF("feature", "kind", "status", "association")

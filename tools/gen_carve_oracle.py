@@ -171,5 +171,69 @@ oracle["q_carve_ovr"] = sql_values(orows,
     ["VARCHAR", "VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
 print("q_carve_ovr rows:", len(orows))
 
+# ---------------------------------------------------------------- q_select
+# Reference ClassificationSelector(n_best_features=2) decides the
+# kept/dropped statuses (the cross-engine part); the association column is
+# recomputed by DuckDB from raw data with the engine's preset measures
+# (Kruskal-eta2 for quantitatives, Tschuprow's T for qualitatives).
+from AutoCarver.selectors import ClassificationSelector
+
+Xs = docs[["n_chars", "doc_id", "lang", "source"]].copy()
+Xs["n_chars"] = Xs["n_chars"].astype(float)
+Xs["doc_id"] = Xs["doc_id"].astype(float)
+ssel = ClassificationSelector(
+    Features(categoricals=["lang", "source"], numericals=["n_chars", "doc_id"]),
+    n_best_features=2)
+ssel.fit(Xs.copy(), y_bin)
+kept = {f.version for f in ssel.selected_features}
+print("reference selector kept:", sorted(kept))
+kind = {"n_chars": "quantitative", "doc_id": "quantitative",
+        "lang": "categorical", "source": "categorical"}
+fix_rows = ",".join(
+    f"('{f}', '{kind[f]}', '{'kept' if f in kept else 'dropped'}')"
+    for f in ["n_chars", "doc_id", "lang", "source"])
+
+def kruskal_eta_sql(expr):
+    return f"""(
+      WITH g AS (SELECT {expr} AS v, y, count(*) AS cnt FROM d GROUP BY 1, 2),
+      xt AS (SELECT v, CAST(sum(cnt) AS DOUBLE) AS n FROM g GROUP BY 1),
+      rx AS (SELECT v, n, sum(n) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - n + (n + 1) / 2.0 AS rx FROM xt),
+      j AS (SELECT g.y, sum(g.cnt * rx.rx) AS rg, CAST(sum(g.cnt) AS DOUBLE) AS ng
+            FROM g JOIN rx USING (v) GROUP BY g.y),
+      t AS (SELECT sum(n * n * n - n) AS tsum, sum(n) AS nn FROM xt),
+      k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM j)
+      SELECT greatest(0.0,
+        ((12.0 / (nn * (nn + 1)) * (SELECT sum(rg * rg / ng) FROM j) - 3 * (nn + 1))
+         / (1 - tsum / (nn * nn * nn - nn)) - k + 1.0) / (nn - k))
+      FROM t, k)"""
+
+def tschuprowt_sql(colname):
+    return f"""(
+      WITH ct AS (SELECT {colname} AS v, y, CAST(count(*) AS DOUBLE) AS c FROM d GROUP BY 1, 2),
+      rs AS (SELECT v, sum(c) AS rc FROM ct GROUP BY v),
+      cs AS (SELECT y, sum(c) AS cc FROM ct GROUP BY y),
+      tt AS (SELECT sum(c) AS n FROM ct),
+      cells AS (
+        SELECT rs.v, cs.y, coalesce(ct.c, 0.0) AS o, rs.rc * cs.cc / tt.n AS e
+        FROM rs CROSS JOIN cs CROSS JOIN tt LEFT JOIN ct ON ct.v = rs.v AND ct.y = cs.y
+      ),
+      chi AS (SELECT sum((o - e) * (o - e) / e) AS chi2, count(DISTINCT v) AS r FROM cells)
+      SELECT sqrt(chi2 / tt.n / sqrt((r - 1.0) * 1.0)) FROM chi, tt)"""
+
+oracle["q_select"] = f"""WITH d AS (
+  SELECT CAST(n_chars AS DOUBLE) AS nc, CAST(doc_id AS DOUBLE) AS di, lang, source,
+         CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y
+  FROM documents
+),
+assoc(feature, a) AS (
+  SELECT 'n_chars', {kruskal_eta_sql('nc')}
+  UNION ALL SELECT 'doc_id', {kruskal_eta_sql('di')}
+  UNION ALL SELECT 'lang', {tschuprowt_sql('lang')}
+  UNION ALL SELECT 'source', {tschuprowt_sql('source')}
+),
+fix(feature, kind, status) AS (VALUES {fix_rows})
+SELECT f.feature, f.kind, f.status, round(a.a, 6) AS association
+FROM fix f JOIN assoc a USING (feature)"""
+
 json.dump(oracle, open(OUT, "w"), indent=1)
 print("wrote", OUT, "entries:", list(oracle))
