@@ -342,14 +342,22 @@ object SparkEntry {
     "q_stability" -> ((s, dir) => {
       val df = Tables.documents(s, dir).withColumn("y", docLabel)
       val m = carveDocs(s, dir)
-      // distribution-shifted "new sample": drop the short-text half
+      // distribution-shifted "new sample": drop the short-text half.
+      // Output mirrors the reference StabilityReport row fields so the
+      // fixture oracle (an actual reference evaluate_stability run) can
+      // pin psi, the chi2 homogeneity test, and both verdict flags.
+      // p-values compare as -log10 (relative-error-safe under rounding).
       val shifted = df.filter(col("n_chars") > 200)
       val report = graft.stability.Stability.evaluate(m, shifted, "y")
+      def r6(x: Double) =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
       import s.implicits._
-      report.features.map(f => (f.name,
-        BigDecimal(f.psiValue).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble,
-        f.viableAsDev, f.unstable, f.reasons.mkString("; ")))
-        .toDF("feature", "psi", "viable_as_dev", "unstable", "reasons")
+      report.features.map { f =>
+        val flag = if (f.psiValue < 0.1) "stable" else if (f.psiValue < 0.25) "moderate" else "shifted"
+        (f.name, r6(f.psiValue), flag, r6(f.chi2Stat), r6(-math.log10(f.chi2P)),
+          f.chi2P < 0.05, r6(f.cramerv), f.viableAsDev, f.unstable)
+      }.toDF("feature", "psi", "psi_flag", "chi2_stat", "chi2_nlog10p",
+        "chi2_significant", "chi2_v", "viable", "unstable")
     })
   )
 
@@ -711,6 +719,32 @@ object SparkEntry {
            FROM cand c JOIN shstr x ON x.id = c.id_a JOIN shstr y ON y.id = c.id_b
          )
          SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.3""",
+    "q_knn_lsh" -> {
+      // the sign-LSH is fully deterministic (splitmix64 hyperplanes), so the
+      // oracle rebuilds the same 4 planes as literals and replays
+      // bucket -> candidate -> exact-cosine top-k in SQL (dim=64 embeddings)
+      val planeRows = Similarity.hyperplanes(4, 64, 42L).zipWithIndex.map { case (p, b) =>
+        s"($b, [${p.mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pl(b, p) AS (VALUES $planeRows),
+         bk AS (
+           SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_inner_product(e.v, pl.p) > 0 THEN (1 << pl.b) ELSE 0 END) AS BIGINT) AS bucket
+           FROM e CROSS JOIN pl GROUP BY e.vec_id
+         ),
+         ev AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)),
+         scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid, list_cosine_similarity(q.v, c.v) AS cos
+           FROM ev q JOIN ev c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+           WHERE q.vec_id < 8
+         )
+         SELECT qid, nid, rank, round(cos, 4) AS cos_sim FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+           FROM scored
+         ) WHERE rank <= 5"""
+    },
     "q_nested_rollup" ->
       s"""WITH d AS (
            SELECT source || '_' || lang AS fine, source FROM documents

@@ -69,6 +69,8 @@ def sql_values(rows, cols, types):
             return f"NULL::{t}"
         if t == "VARCHAR":
             return "'" + str(v).replace("'", "''") + "'"
+        if t == "BOOLEAN":
+            return "true" if v else "false"
         if t == "DOUBLE":
             return repr(float(v)) + "::DOUBLE"
         return str(int(v)) + f"::{t}"
@@ -234,6 +236,33 @@ assoc(feature, a) AS (
 fix(feature, kind, status) AS (VALUES {fix_rows})
 SELECT f.feature, f.kind, f.status, round(a.a, 6) AS association
 FROM fix f JOIN assoc a USING (feature)"""
+
+# ------------------------------------------------------------- q_stability
+# Reference evaluate_stability on a reference-fitted BinaryCarver (fit
+# parity already pinned by q_carve_fit) over the same shifted sample.
+from AutoCarver.stability import evaluate_stability
+
+sh = docs[docs["n_chars"] > 200]
+Xsh = sh[["n_chars", "lang", "source"]].copy(); Xsh["n_chars"] = Xsh["n_chars"].astype(float)
+ysh = (sh["n_chars"] > 300).astype(int)
+rep = evaluate_stability(bc, Xsh.copy(), ysh)
+pf = rep.per_feature if hasattr(rep, "per_feature") else rep.summary
+unstable_set = set()
+for n in rep.unstable_features:
+    mm = re.search(r"'([^']+)'", str(n))
+    unstable_set.add(mm.group(1) if mm else str(n))
+srows = []
+for _, r in pf.reset_index().iterrows():
+    mm = re.search(r"'([^']+)'", str(r["feature"]))
+    fname = mm.group(1) if mm else str(r["feature"])
+    srows.append((fname, rnd6(r["psi"]), str(r["psi_flag"]), rnd6(r["chi2"]),
+                  rnd6(-math.log10(r["chi2_pvalue"])), bool(r["chi2_significant"]),
+                  rnd6(r["chi2_cramerv"]), bool(r["viable"]), fname in unstable_set))
+oracle["q_stability"] = sql_values(srows,
+    ["feature", "psi", "psi_flag", "chi2_stat", "chi2_nlog10p",
+     "chi2_significant", "chi2_v", "viable", "unstable"],
+    ["VARCHAR", "DOUBLE", "VARCHAR", "DOUBLE", "DOUBLE", "BOOLEAN", "DOUBLE", "BOOLEAN", "BOOLEAN"])
+print("q_stability rows:", len(srows), "unstable:", sorted(unstable_set))
 
 json.dump(oracle, open(OUT, "w"), indent=1)
 print("wrote", OUT, "entries:", list(oracle))
