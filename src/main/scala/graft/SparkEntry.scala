@@ -130,6 +130,8 @@ object SparkEntry {
       Dedup.withSimhash(Tables.documents(s, dir), "text").select(col("doc_id"), col("simhash"))),
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 7)),
+    "q_dedup_components" -> ((s, dir) =>
+      Dedup.nearDupComponents(docsWithNearDups(s, dir), "doc_id", "text")),
     "q_ngram_jaccard" -> ((s, dir) => {
       // the production shape: LSH candidates -> exact-jaccard verification
       val docs = docsWithNearDups(s, dir)
@@ -745,6 +747,24 @@ object SparkEntry {
            FROM scored
          ) WHERE rank <= 5"""
     },
+    "q_dedup_components" ->
+      s"""${minhashCandSql.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         scored AS (
+           SELECT c.id_a, c.id_b,
+             len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / 64.0 AS est
+           FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
+         ),
+         e2 AS (
+           SELECT id_a AS a, id_b AS b FROM scored WHERE est >= 0.5
+           UNION ALL
+           SELECT id_b AS a, id_a AS b FROM scored WHERE est >= 0.5
+         ),
+         reach(a, b) AS (
+           SELECT id, id FROM docs
+           UNION
+           SELECT r.a, e2.b FROM reach r JOIN e2 ON r.b = e2.a
+         )
+         SELECT a AS id, min(b) AS component FROM reach GROUP BY a""",
     "q_nested_rollup" ->
       s"""WITH d AS (
            SELECT source || '_' || lang AS fine, source FROM documents

@@ -268,6 +268,66 @@ object Dedup {
       .drop("sh_a", "sh_b")
   }
 
+  // --------------------------------------------- near-dup connected components
+
+  /** Connected components over a candidate-pair edge set — the APPLIED form
+    * of near-dup detection: every document gets a `component` id (the
+    * minimum doc id reachable through near-dup edges), so `component` is
+    * the keeper and everything else in the component is droppable.
+    *
+    * Algorithm: iterative min-label propagation (the standard Hash-Min /
+    * "small-star" connected components over DataFrame joins). Each
+    * iteration is one broadcast-free shuffle join sized by |edges| and
+    * converges in O(diameter) rounds — near-dup components are dense
+    * near-cliques (a cluster of crawls of one page), so the diameter is
+    * small and 5-15 rounds close web-scale graphs. Labels persist per
+    * round and the loop stops when no label changes.
+    *
+    * @param nodes (id) — every document, including singletons
+    * @param pairs (id_a, id_b) — undirected candidate edges
+    */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = nodes.select(col(nodes.columns.head).as("id"))
+      .withColumn("component", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var changed = 1L
+    while (iter < maxIter && changed > 0) {
+      // each node adopts the min component among itself and its neighbours
+      val msgs = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("component"))
+        .unionByName(labels)
+      val next = msgs.groupBy("id").agg(min("component").as("component"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** End-to-end near-dup grouping: MinHash-LSH candidates at
+    * `minEstJaccard`, then connected components — returns
+    * (id, component) for EVERY row of `df`.
+    */
+  def nearDupComponents(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minEstJaccard: Double = 0.5
+  ): DataFrame = {
+    val pairs = minhashCandidatePairs(df, idCol, textCol)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(df.select(col(idCol)), pairs)
+  }
+
   /** Exact word n-gram Jaccard similarity for all pairs sharing at least
     * one n-gram (inverted-index join; rare-gram pruning via maxPostings).
     * At corpus scale run [[verifyPairsJaccard]] on LSH candidates instead —

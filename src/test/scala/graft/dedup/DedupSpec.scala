@@ -56,4 +56,30 @@ class DedupSpec extends SparkSuite {
     assert(m((1L, 3L)) > 0.6)
     assert(!m.contains((1L, 4L)))
   }
+
+  test("connectedComponents: chains merge, singletons stay, keeper is the min id") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    // chain 1-2-3, pair 4-5, singleton 9
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L), comp.toString)
+  }
+
+  test("nearDupComponents: planted truncated dups land in their original's component") {
+    import spark.implicits._
+    val docs = (0 until 40).map { i =>
+      val text = s"document number $i " + ("lorem ipsum dolor sit amet consectetur " * 6) + s"tail $i"
+      (i.toLong, text)
+    }
+    val dups = docs.take(8).map { case (i, t) => (i + 1000L, t.dropRight(9)) }
+    val all = (docs ++ dups).toDF("doc_id", "text")
+    val comp = Dedup.nearDupComponents(all, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 48)
+    (0 until 8).foreach { i =>
+      assert(comp(i + 1000L) == comp(i.toLong), s"dup of $i not grouped")
+    }
+  }
 }
