@@ -372,10 +372,11 @@ object BinaryCarver {
       import spark.implicits._
       features.flatMap(f => f.history.zipWithIndex.map { case (h, i) =>
         (f.name, i, h.combination.map(_.mkString("[", ", ", "]")).mkString(" | "),
-          h.cramerv, h.tschuprowt, h.nMod, h.viable, h.minFreqOk, h.distinctOk,
-          h.orderingOk, h.withNan, h.info)
-      }).toDF("feature", "rank", "combination", "cramerv", "tschuprowt", "n_mod",
-        "viable", "min_freq_ok", "distinct_rates_ok", "ordering_ok", "dropna", "info")
+          h.cramerv, h.tschuprowt, h.measure, h.value, h.nMod, h.viable, h.minFreqOk,
+          h.distinctOk, h.orderingOk, h.withNan, h.info)
+      }).toDF("feature", "rank", "combination", "cramerv", "tschuprowt", "measure",
+        "value", "n_mod", "viable", "min_freq_ok", "distinct_rates_ok", "ordering_ok",
+        "dropna", "info")
     }
 
     def toJson: String = Json.writeModel(this)

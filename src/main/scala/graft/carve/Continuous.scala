@@ -205,17 +205,41 @@ object Continuous {
       nanLabel: String = BinaryCarver.NanLabel,
       topKInitial: Int = 2000,
       escalate: Boolean = false,
-      folds: Seq[RankXagg] = Nil
+      folds: Seq[RankXagg] = Nil,
+      histSink: mutable.Buffer[Search.HistoryEntry] = null,
+      rescueMode: Boolean = false
   ): Option[(Vector[Vector[String]], Double, Vector[Search.RateRow])] = {
 
-    def viability(t: RankXagg, d: Option[RankXagg], f: Seq[RankXagg]): Boolean = {
+    def viabilityFlags(t: RankXagg, d: Option[RankXagg], f: Seq[RankXagg]): Search.Viability = {
       val tr = t.rates
-      if (!Search.testMinFreq(tr, minFreq, alpha) || !Search.testDistinctRates(tr)) false
-      else (d.toSeq ++ f).forall { dd =>
+      val mf = Search.testMinFreq(tr, minFreq, alpha)
+      val di = Search.testDistinctRates(tr)
+      if (!mf || !di) return Search.Viability(viable = false, mf, di, orderingOk = true)
+      var res = Search.Viability(viable = true, mf, di, orderingOk = true)
+      val it = (d.toSeq ++ f).iterator
+      while (it.hasNext && res.viable) {
+        val dd = it.next()
         val dr = dd.rates
-        Search.testMinFreq(dr, minFreq, alpha) && Search.testDistinctRates(dr) &&
-          Search.testOrdering(tr.map(_.rate), dr.map(_.rate))
+        val mfD = Search.testMinFreq(dr, minFreq, alpha)
+        val diD = Search.testDistinctRates(dr)
+        val ord = Search.testOrdering(tr.map(_.rate), dr.map(_.rate))
+        res = Search.Viability(mfD && diD && ord, mf && mfD, di && diD, ord)
       }
+      res
+    }
+    def viability(t: RankXagg, d: Option[RankXagg], f: Seq[RankXagg]): Boolean =
+      viabilityFlags(t, d, f).viable
+    def historize(combo: Vector[Vector[String]], h: Double, v: Search.Viability, withNan: Boolean): Unit = {
+      if (histSink == null) return
+      val info =
+        if (!v.viable) "Not viable"
+        else {
+          val base = s"Best for kruskal and max_n_mod=$maxNMod"
+          val d = if (withNan) base + " (dropna=True)" else base
+          if (rescueMode) d + " (rescue: min_freq waived)" else d
+        }
+      histSink += Search.HistoryEntry(combo, Double.NaN, Double.NaN, combo.length, v.viable,
+        v.minFreqOk, v.distinctOk, v.orderingOk, withNan, info, measure = "kruskal", value = h)
     }
 
     val rawLabels0 = trainSub.labels
@@ -248,8 +272,10 @@ object Continuous {
           while (i < cands.length && found.isEmpty) {
             val (combo, h) = cands(i)
             val idx = combo.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
-            if (viability(trainNoNan.grouped(idx), devNoNan.map(_.grouped(idx)),
-              foldsNoNan.map(_.grouped(idx)))) found = Some((combo, h))
+            val v = viabilityFlags(trainNoNan.grouped(idx), devNoNan.map(_.grouped(idx)),
+              foldsNoNan.map(_.grouped(idx)))
+            historize(combo, h, v, withNan = false)
+            if (v.viable) found = Some((combo, h))
             i += 1
           }
           walked = i
@@ -293,8 +319,10 @@ object Continuous {
         if (!historized.contains(v)) {
           historized += v
           val idx = v.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
-          if (viability(mergedTrain.grouped(idx), mergedDev.map(_.grouped(idx)),
-            mergedFolds.map(_.grouped(idx)))) winner = Some((v, h))
+          val vf = viabilityFlags(mergedTrain.grouped(idx), mergedDev.map(_.grouped(idx)),
+            mergedFolds.map(_.grouped(idx)))
+          historize(v, h, vf, withNan = true)
+          if (vf.viable) winner = Some((v, h))
         }
         i += 1
       }

@@ -268,9 +268,12 @@ object ContinuousCarver {
       // per-label (n, Σy, Σy²) for the per-bin sample std (M4 drift tests)
       moments: Map[String, (Double, Double, Double)] = Map.empty
   ): FittedFeature = {
+    val histBuf =
+      if (config.history) scala.collection.mutable.ArrayBuffer.empty[Search.HistoryEntry] else null
     def run(minFreq: Option[Double]) = Continuous.bestCombination(
       sub, full, devX, config.maxNMod, minFreq, config.minFreqAlpha,
-      p.hasNan, NanLabel, config.topKInitial, config.escalate, folds)
+      p.hasNan, NanLabel, config.topKInitial, config.escalate, folds,
+      histSink = histBuf, rescueMode = minFreq.isEmpty)
     val normal = run(Some(config.minFreq))
     // rescue-rare (C13): min_freq waived when a validation view exists
     val best =
@@ -280,7 +283,8 @@ object ContinuousCarver {
       case None =>
         FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,
           -1, -1, p.hasNan, p.hasDefault, Vector.empty, Double.NaN, Double.NaN,
-          Vector.empty, dropped = true, droppedReason = "no viable combination")
+          Vector.empty, dropped = true, droppedReason = "no viable combination",
+          history = if (histBuf == null) Vector.empty else histBuf.toVector)
       case Some((combination, h, rates)) =>
         val labelToBin = combination.zipWithIndex.flatMap { case (g, i) => g.map(_ -> i) }.toMap
         val nanBin = labelToBin.getOrElse(NanLabel, -1)
@@ -296,7 +300,8 @@ object ContinuousCarver {
           val binLabels = BinaryCarver.quantBinLabels(combination, p, nanBin)
           FittedFeature(spec.name, p.kind, p.prebinEdges, prebinToBin, Map.empty,
             nanBin, -1, p.hasNan, p.hasDefault, binLabels, h, Double.NaN, rates,
-            dropped = false, droppedReason = "", stds = stds)
+            dropped = false, droppedReason = "", stds = stds,
+            history = if (histBuf == null) Vector.empty else histBuf.toVector)
         } else {
           val valueToBin = p.valueToRaw.collect {
             case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
@@ -306,7 +311,8 @@ object ContinuousCarver {
             g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
           FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
             nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, h, Double.NaN,
-            rates, dropped = false, droppedReason = "", stds = stds)
+            rates, dropped = false, droppedReason = "", stds = stds,
+            history = if (histBuf == null) Vector.empty else histBuf.toVector)
         }
     }
   }

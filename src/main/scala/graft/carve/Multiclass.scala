@@ -125,17 +125,7 @@ object Multiclass {
   private def viable(
       trainG: KXagg, devG: Option[KXagg], rate: Ordinal.ORate,
       minFreq: Option[Double], alpha: Double, foldsG: Seq[KXagg] = Nil
-  ): Boolean = {
-    val trainRates = Ordinal.orateRows(trainG, rate)
-    if (!Search.testMinFreq(trainRates, minFreq, alpha)) return false
-    if (!Search.testDistinctRates(trainRates)) return false
-    (devG.toSeq ++ foldsG).forall { view =>
-      val devRates = Ordinal.orateRows(view, rate)
-      Search.testMinFreq(devRates, minFreq, alpha) &&
-        Search.testDistinctRates(devRates) &&
-        Search.testOrdering(trainRates.map(_.rate), devRates.map(_.rate))
-    }
-  }
+  ): Boolean = Ordinal.viableFlags(trainG, devG, rate, minFreq, alpha, foldsG).viable
 
   /** Multiclass combination search: progressive top-K chi² DP (phase 1) +
     * the inherited enumerate-and-score NaN placement (phase 2 — like the
@@ -153,8 +143,24 @@ object Multiclass {
       dropna: Boolean = true,
       topKInitial: Int = 2000,
       escalate: Boolean = true,
-      folds: Seq[KXagg] = Nil
+      folds: Seq[KXagg] = Nil,
+      histSink: mutable.Buffer[Search.HistoryEntry] = null,
+      rescueMode: Boolean = false
   ): Option[MBest] = {
+    def historize(combo: Vector[Vector[String]], cv: Double, tt: Double,
+        v: Search.Viability, withNan: Boolean): Unit = {
+      if (histSink == null) return
+      val info =
+        if (!v.viable) "Not viable"
+        else {
+          val base = s"Best for $sortBy and max_n_mod=$maxNMod"
+          val d = if (withNan) base + " (dropna=True)" else base
+          if (rescueMode) d + " (rescue: min_freq waived)" else d
+        }
+      histSink += Search.HistoryEntry(combo, cv, tt, combo.length, v.viable,
+        v.minFreqOk, v.distinctOk, v.orderingOk, withNan, info,
+        measure = sortBy, value = if (sortBy == "cramerv") cv else tt)
+    }
     val rawLabels0 = if (hasNan && dropna) train.labels.filterNot(_ == nanLabel) else train.labels
     val trainNoNan = if (hasNan) train.without(nanLabel) else train
     val devNoNan = if (hasNan) dev.map(_.without(nanLabel)) else dev
@@ -178,9 +184,11 @@ object Multiclass {
           var i = walked
           while (i < cands.length && found.isEmpty) {
             val c = cands(i)
-            if (viable(trainNoNan.grouped(c.indexToGroupby), devNoNan.map(_.grouped(c.indexToGroupby)),
-              rate, minFreq, alpha, foldsNoNan.map(_.grouped(c.indexToGroupby))))
-              found = Some(c)
+            val v = Ordinal.viableFlags(trainNoNan.grouped(c.indexToGroupby),
+              devNoNan.map(_.grouped(c.indexToGroupby)), rate, minFreq, alpha,
+              foldsNoNan.map(_.grouped(c.indexToGroupby)))
+            historize(c.combination, c.cramerv, c.tschuprowt, v, withNan = false)
+            if (v.viable) found = Some(c)
             i += 1
           }
           walked = i
@@ -206,10 +214,11 @@ object Multiclass {
         val combo = Vector(rawLabels0, Vector(nanLabel))
         val idx = combo.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
         val g = train.grouped(idx)
-        if (viable(g, dev.map(_.grouped(idx)), rate, minFreq, alpha, folds.map(_.grouped(idx)))) {
-          val (cv, tt) = associationMeasure(g.m, train.nObs)
-          return Some(MBest(combo, cv, tt, Ordinal.orateRows(g, rate), rate))
-        }
+        val vr = Ordinal.viableFlags(g, dev.map(_.grouped(idx)), rate, minFreq, alpha, folds.map(_.grouped(idx)))
+        val (cv0, tt0) = associationMeasure(g.m, train.nObs)
+        historize(combo, cv0, tt0, vr, withNan = true)
+        if (vr.viable)
+          return Some(MBest(combo, cv0, tt0, Ordinal.orateRows(g, rate), rate))
         return None
       }
       return baseBest
@@ -234,8 +243,10 @@ object Multiclass {
       if (!historized.contains(variant)) {
         historized += variant
         val g = mergedTrain.grouped(idx)
-        if (viable(g, mergedDev.map(_.grouped(idx)), rate, minFreq, alpha,
-          mergedFolds.map(_.grouped(idx)))) nanWinner = Some((variant, idx, cv, tt))
+        val vf = Ordinal.viableFlags(g, mergedDev.map(_.grouped(idx)), rate, minFreq, alpha,
+          mergedFolds.map(_.grouped(idx)))
+        historize(variant, cv, tt, vf, withNan = true)
+        if (vf.viable) nanWinner = Some((variant, idx, cv, tt))
       }
       i += 1
     }

@@ -31,7 +31,8 @@ object MulticlassCarver {
       cv: Int = 0,
       rescue: Boolean = false,
       sketchCardinalityThreshold: Long = 2000000L,
-      sketchRelativeError: Double = 0.0001
+      sketchRelativeError: Double = 0.0001,
+      history: Boolean = true
   )
 
   final case class MFitted(feature: FittedFeature, cramerv: Double, tschuprowt: Double,
@@ -385,9 +386,12 @@ object MulticlassCarver {
 
   private[carve] def searchFeatureM(spec: FeatureSpec, p: KPrep, devX: Option[Ordinal.KXagg], config: Config,
       folds: Seq[Ordinal.KXagg] = Nil): MFitted = {
+    val histBuf =
+      if (config.history) scala.collection.mutable.ArrayBuffer.empty[Search.HistoryEntry] else null
     def run(minFreq: Option[Double]) = Multiclass.bestCombination(
       p.xagg, devX, config.maxNMod, minFreq, config.minFreqAlpha,
-      config.sortBy, p.hasNan, NanLabel, dropna = true, config.topKInitial, config.escalate, folds)
+      config.sortBy, p.hasNan, NanLabel, dropna = true, config.topKInitial, config.escalate, folds,
+      histSink = histBuf, rescueMode = minFreq.isEmpty)
     val normal = run(Some(config.minFreq))
     val best =
       if (normal.isEmpty && config.rescue && (devX.nonEmpty || folds.nonEmpty)) run(None)
@@ -397,7 +401,8 @@ object MulticlassCarver {
       case None =>
         MFitted(FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,
           -1, -1, p.hasNan, p.hasDefault, Vector.empty, Double.NaN, Double.NaN,
-          Vector.empty, dropped = true, droppedReason = "no viable combination"),
+          Vector.empty, dropped = true, droppedReason = "no viable combination",
+          history = if (histBuf == null) Vector.empty else histBuf.toVector),
           Double.NaN, Double.NaN, Multiclass.CAScoreRate(Ca.fitCaAxis(p.xagg.m)))
       case Some(b) =>
         val labelToBin: Map[String, Int] =
@@ -411,7 +416,8 @@ object MulticlassCarver {
             val binLabels = BinaryCarver.quantBinLabels(b.combination, prep, nanBin)
             FittedFeature(spec.name, p.kind, p.prebinEdges, prebinToBin, Map.empty,
               nanBin, -1, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
-              b.rates, dropped = false, droppedReason = "")
+              b.rates, dropped = false, droppedReason = "",
+              history = if (histBuf == null) Vector.empty else histBuf.toVector)
           } else {
             val valueToBin = p.valueToRaw.collect {
               case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
@@ -421,7 +427,8 @@ object MulticlassCarver {
               g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
             FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
               nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
-              b.rates, dropped = false, droppedReason = "")
+              b.rates, dropped = false, droppedReason = "",
+              history = if (histBuf == null) Vector.empty else histBuf.toVector)
           }
         MFitted(f, b.cramerv, b.tschuprowt, Multiclass.CAScoreRate(Ca.fitCaAxis(p.xagg.m)))
     }

@@ -390,16 +390,31 @@ object Ordinal {
       minFreq: Option[Double],
       alpha: Double,
       foldsG: Seq[KXagg] = Nil
-  ): Boolean = {
+  ): Boolean = viableFlags(trainG, devG, rate, minFreq, alpha, foldsG).viable
+
+  private[carve] def viableFlags(
+      trainG: KXagg,
+      devG: Option[KXagg],
+      rate: ORate,
+      minFreq: Option[Double],
+      alpha: Double,
+      foldsG: Seq[KXagg] = Nil
+  ): Search.Viability = {
     val trainRates = orateRows(trainG, rate)
-    if (!Search.testMinFreq(trainRates, minFreq, alpha)) return false
-    if (!Search.testDistinctRates(trainRates)) return false
-    (devG.toSeq ++ foldsG).forall { view =>
+    val mf = Search.testMinFreq(trainRates, minFreq, alpha)
+    val di = Search.testDistinctRates(trainRates)
+    if (!mf || !di) return Search.Viability(viable = false, mf, di, orderingOk = true)
+    var res = Search.Viability(viable = true, mf, di, orderingOk = true)
+    val it = (devG.toSeq ++ foldsG).iterator
+    while (it.hasNext && res.viable) {
+      val view = it.next()
       val devRates = orateRows(view, rate)
-      Search.testMinFreq(devRates, minFreq, alpha) &&
-        Search.testDistinctRates(devRates) &&
-        Search.testOrdering(trainRates.map(_.rate), devRates.map(_.rate))
+      val mfD = Search.testMinFreq(devRates, minFreq, alpha)
+      val diD = Search.testDistinctRates(devRates)
+      val ord = Search.testOrdering(trainRates.map(_.rate), devRates.map(_.rate))
+      res = Search.Viability(mfD && diD && ord, mf && mfD, di && diD, ord)
     }
+    res
   }
 
   /** Ordinal combination search: progressive top-K C−D DP (phase 1) + the
@@ -419,8 +434,22 @@ object Ordinal {
       dropna: Boolean = true,
       topKInitial: Int = 2000,
       escalate: Boolean = true,
-      folds: Seq[KXagg] = Nil
+      folds: Seq[KXagg] = Nil,
+      histSink: mutable.Buffer[Search.HistoryEntry] = null,
+      rescueMode: Boolean = false
   ): Option[OBest] = {
+    def historize(combo: Vector[Vector[String]], value: Double, v: Search.Viability, withNan: Boolean): Unit = {
+      if (histSink == null) return
+      val info =
+        if (!v.viable) "Not viable"
+        else {
+          val base = s"Best for $sortBy and max_n_mod=$maxNMod"
+          val d = if (withNan) base + " (dropna=True)" else base
+          if (rescueMode) d + " (rescue: min_freq waived)" else d
+        }
+      histSink += Search.HistoryEntry(combo, Double.NaN, Double.NaN, combo.length, v.viable,
+        v.minFreqOk, v.distinctOk, v.orderingOk, withNan, info, measure = sortBy, value = value)
+    }
     val rawLabels0 = if (hasNan && dropna) train.labels.filterNot(_ == nanLabel) else train.labels
     val trainNoNan = if (hasNan) train.without(nanLabel) else train
     val devNoNan = if (hasNan) dev.map(_.without(nanLabel)) else dev
@@ -445,9 +474,10 @@ object Ordinal {
           var i = walked
           while (i < cands.length && found.isEmpty) {
             val c = cands(i)
-            if (viable(trainNoNan.grouped(c.indexToGroupby), devNoNan.map(_.grouped(c.indexToGroupby)),
-              rate, minFreq, alpha, foldsNoNan.map(_.grouped(c.indexToGroupby))))
-              found = Some(c)
+            val v = viableFlags(trainNoNan.grouped(c.indexToGroupby), devNoNan.map(_.grouped(c.indexToGroupby)),
+              rate, minFreq, alpha, foldsNoNan.map(_.grouped(c.indexToGroupby)))
+            historize(c.combination, c.metrics.metric(sortBy), v, withNan = false)
+            if (v.viable) found = Some(c)
             i += 1
           }
           walked = i
@@ -476,7 +506,9 @@ object Ordinal {
         val combo = Vector(rawLabels0, Vector(nanLabel))
         val idx = combo.iterator.flatMap(g => g.iterator.map(_ -> g.head)).toMap
         val g = train.grouped(idx)
-        if (viable(g, dev.map(_.grouped(idx)), rate, minFreq, alpha, folds.map(_.grouped(idx))))
+        val vr = viableFlags(g, dev.map(_.grouped(idx)), rate, minFreq, alpha, folds.map(_.grouped(idx)))
+        historize(combo, ordinalAssociations(g.m).metric(sortBy), vr, withNan = true)
+        if (vr.viable)
           return Some(OBest(combo, ordinalAssociations(g.m), orateRows(g, rate), rate))
         return None
       }
@@ -501,8 +533,10 @@ object Ordinal {
       if (!historized.contains(variant)) {
         historized += variant
         val g = mergedTrain.grouped(idx)
-        if (viable(g, mergedDev.map(_.grouped(idx)), rate, minFreq, alpha,
-          mergedFolds.map(_.grouped(idx)))) nanWinner = Some((variant, idx, m))
+        val vf = viableFlags(g, mergedDev.map(_.grouped(idx)), rate, minFreq, alpha,
+          mergedFolds.map(_.grouped(idx)))
+        historize(variant, m.metric(sortBy), vf, withNan = true)
+        if (vf.viable) nanWinner = Some((variant, idx, m))
       }
       i += 1
     }

@@ -32,7 +32,8 @@ object OrdinalCarver {
       cv: Int = 0,
       rescue: Boolean = false,
       sketchCardinalityThreshold: Long = 2000000L,
-      sketchRelativeError: Double = 0.0001
+      sketchRelativeError: Double = 0.0001,
+      history: Boolean = true
   )
 
   final case class OFitted(feature: FittedFeature, tauB: Double, tauC: Double, somersd: Double,
@@ -429,9 +430,12 @@ object OrdinalCarver {
       spec: FeatureSpec, p: KPrep, devX: Option[Ordinal.KXagg],
       rate0: Ordinal.ORate, config: Config, folds: Seq[Ordinal.KXagg] = Nil
   ): OFitted = {
+    val histBuf =
+      if (config.history) scala.collection.mutable.ArrayBuffer.empty[Search.HistoryEntry] else null
     def run(minFreq: Option[Double]) = Ordinal.bestCombination(
       p.xagg, devX, rate0, config.maxNMod, minFreq, config.minFreqAlpha,
-      config.sortBy, p.hasNan, NanLabel, dropna = true, config.topKInitial, config.escalate, folds)
+      config.sortBy, p.hasNan, NanLabel, dropna = true, config.topKInitial, config.escalate, folds,
+      histSink = histBuf, rescueMode = minFreq.isEmpty)
     val normal = run(Some(config.minFreq))
     val best =
       if (normal.isEmpty && config.rescue && (devX.nonEmpty || folds.nonEmpty)) run(None)
@@ -441,7 +445,8 @@ object OrdinalCarver {
       case None =>
         OFitted(FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,
           -1, -1, p.hasNan, p.hasDefault, Vector.empty, Double.NaN, Double.NaN,
-          Vector.empty, dropped = true, droppedReason = "no viable combination"),
+          Vector.empty, dropped = true, droppedReason = "no viable combination",
+          history = if (histBuf == null) Vector.empty else histBuf.toVector),
           Double.NaN, Double.NaN, Double.NaN, rate0.fitReference(p.xagg))
       case Some(b) =>
         val labelToBin: Map[String, Int] =
@@ -455,7 +460,8 @@ object OrdinalCarver {
             val binLabels = BinaryCarver.quantBinLabels(b.combination, prep, nanBin)
             FittedFeature(spec.name, p.kind, p.prebinEdges, prebinToBin, Map.empty,
               nanBin, -1, p.hasNan, p.hasDefault, binLabels, Double.NaN, Double.NaN,
-              b.rates, dropped = false, droppedReason = "")
+              b.rates, dropped = false, droppedReason = "",
+              history = if (histBuf == null) Vector.empty else histBuf.toVector)
           } else {
             val valueToBin = p.valueToRaw.collect {
               case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
@@ -465,7 +471,8 @@ object OrdinalCarver {
               g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
             FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
               nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, Double.NaN, Double.NaN,
-              b.rates, dropped = false, droppedReason = "")
+              b.rates, dropped = false, droppedReason = "",
+              history = if (histBuf == null) Vector.empty else histBuf.toVector)
           }
         OFitted(f, b.metrics.tauB, b.metrics.tauC, b.metrics.somersd, rate0.fitReference(p.xagg))
     }

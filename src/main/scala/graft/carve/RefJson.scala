@@ -261,6 +261,26 @@ object RefJson {
       s""""is_qualitative": ${f.kind != "quantitative"}, "is_quantitative": ${f.kind == "quantitative"}, """ +
       s""""is_categorical": ${f.kind == "categorical"}, "is_ordinal": ${f.kind == "ordinal"}, "is_nested": false, """ +
       s""""is_datetime": false, "ordinal_encoding": true, "statistics": $statistics, """ +
-      s""""rate_reference": null, "history": []}"""
+      s""""rate_reference": null, "history": ${historyJson(f)}}"""
   }
+
+  /** Per-candidate search history in the reference's `_history` dict shape
+    * (`combination_evaluator.py:774-850`): info, association values,
+    * `combination` as a modality→leader dict, viable, n_mod, dropna.
+    * Empty when the fit ran with `Config(history = false)`.
+    */
+  private def historyJson(f: BinaryCarver.FittedFeature): String =
+    f.history.map { h =>
+      val combo = h.combination.flatMap(g => g.map(m => "\"" + esc(m) + "\": \"" + esc(g.head) + "\""))
+        .mkString("{", ", ", "}")
+      def num(d: Double): String = if (d.isNaN) "null" else d.toString
+      val assoc =
+        if (h.measure.nonEmpty && h.cramerv.isNaN && h.tschuprowt.isNaN)
+          s""""${esc(h.measure)}": ${num(h.value)}"""
+        else s""""cramerv": ${num(h.cramerv)}, "tschuprowt": ${num(h.tschuprowt)}"""
+      s"""{"info": "${esc(h.info)}", $assoc, "combination": $combo, "viable": ${h.viable}, """ +
+        s""""n_mod": ${h.nMod}, "dropna": ${h.withNan}, """ +
+        s""""train": {"viable_min_freq": ${h.minFreqOk}, "viable_distinct_rates": ${h.distinctOk}, """ +
+        s""""viable_ordering": ${h.orderingOk}}}"""
+    }.mkString("[", ", ", "]")
 }

@@ -150,7 +150,12 @@ object Search {
       distinctOk: Boolean,
       orderingOk: Boolean,
       withNan: Boolean,
-      info: String)
+      info: String,
+      // the family's sort metric: binary fills cramerv/tschuprowt above,
+      // the other carvers record (measure, value) — kruskal H, tau/somers,
+      // K-column cramerv/tschuprowt
+      measure: String = "",
+      value: Double = Double.NaN)
 
   /** Result of a feature search: the winning partition over the search
     * labels plus its association metrics.

@@ -181,12 +181,30 @@ class ModelSurfaceSpec extends SparkSuite {
     // history frame shape
     val h = model.history(spark)
     assert(h.columns.toSeq == Seq("feature", "rank", "combination", "cramerv", "tschuprowt",
-      "n_mod", "viable", "min_freq_ok", "distinct_rates_ok", "ordering_ok", "dropna", "info"))
+      "measure", "value", "n_mod", "viable", "min_freq_ok", "distinct_rates_ok",
+      "ordering_ok", "dropna", "info"))
     assert(h.filter(col("feature") === "x").count() == f.history.length.toLong)
     // opt-out
     val noHist = BinaryCarver.fit(df, "y", Seq(BinaryCarver.FeatureSpec("x", "quantitative")),
       config = BinaryCarver.Config(history = false))
     assert(noHist.kept.head.history.isEmpty)
+  }
+
+  test("history: all carver families record the tested candidates with their measure") {
+    val cdf = df.withColumn("yc", col("x") * 2.0 + col("catnum"))
+    val cm = ContinuousCarver.fit(cdf, "yc", Seq(BinaryCarver.FeatureSpec("x", "quantitative")))
+    val ch = cm.kept.head.history
+    assert(ch.nonEmpty && ch.last.viable && ch.last.measure == "kruskal" && !ch.last.value.isNaN)
+
+    val odf = df.withColumn("yo", lit(1) + (col("x") > 33).cast("int") + (col("x") > 66).cast("int"))
+    val om = OrdinalCarver.fit(odf, "yo", Seq(BinaryCarver.FeatureSpec("x", "quantitative")))
+    val oh = om.kept.head.feature.history
+    assert(oh.nonEmpty && oh.last.viable && oh.last.measure == "tau_c")
+
+    val mdf = df.withColumn("ym", when(col("x") > 66, "hi").when(col("x") > 33, "mid").otherwise("lo"))
+    val mm = MulticlassCarver.fit(mdf, "ym", Seq(BinaryCarver.FeatureSpec("x", "quantitative")))
+    val mh = mm.kept.head.feature.history
+    assert(mh.nonEmpty && mh.last.viable && mh.last.measure == "tschuprowt" && !mh.last.tschuprowt.isNaN)
   }
 
   test("stability view: ordinal model drift report via binaryView") {
