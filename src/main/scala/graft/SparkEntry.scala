@@ -160,6 +160,16 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"), TextOps.langId(col("text")).as("pred_lang"))),
     "q_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    // ----------------------------------------------------------- multimodal
+    "q_multimodal_meta" -> ((s, dir) => {
+      // binary-payload plumbing over a synthesized media column (the text
+      // bytes stand in for an opaque codec payload; the decode itself is a
+      // declared stub — the schema/batching/digest path is the real part)
+      val withPayload = Tables.documents(s, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      graft.multimodal.Multimodal.extractFeatures(withPayload, "doc_id", "payload")
+        .select(col("doc_id"), col("ok"), col("byte_len"), col("sha256"))
+    }),
     // ----------------------------------------------------------- similarity
     "q_knn_brute" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
@@ -721,6 +731,10 @@ object SparkEntry {
            FROM cand c JOIN shstr x ON x.id = c.id_a JOIN shstr y ON y.id = c.id_b
          )
          SELECT id_a, id_b, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.3""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id, true AS ok, octet_length(encode(text)) AS byte_len,
+         sha256(text) AS sha256
+         FROM documents""",
     "q_knn_lsh" -> {
       // the sign-LSH is fully deterministic (splitmix64 hyperplanes), so the
       // oracle rebuilds the same 4 planes as literals and replays

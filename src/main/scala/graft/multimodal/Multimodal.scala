@@ -27,7 +27,7 @@ object Multimodal {
   final case class MediaFeatures(
       ok: Boolean,
       byteLen: Long,
-      sha1: String,
+      sha256: String,
       embedding: Array[Float]
   )
 
@@ -60,9 +60,12 @@ object Multimodal {
     }
   }
 
-  def sha1Hex(b: Array[Byte]): String =
+  /** sha256: the content-address every engine (incl. the DuckDB oracle)
+    * can recompute — sha1 is absent from DuckDB 1.x.
+    */
+  def sha256Hex(b: Array[Byte]): String =
     if (b == null) ""
-    else java.security.MessageDigest.getInstance("SHA-1").digest(b).map("%02x".format(_)).mkString
+    else java.security.MessageDigest.getInstance("SHA-256").digest(b).map("%02x".format(_)).mkString
 
   // -------------------------------------------------- dataset operators
 
@@ -71,13 +74,13 @@ object Multimodal {
     * Pandas-UDF batch), null-safe, never throws on a corrupt payload.
     *
     * Input: (idCol: long, payloadCol: binary). Output adds a struct
-    * `media_features (ok, byte_len, sha1, embedding)`.
+    * `media_features (ok, byte_len, sha256, embedding)`.
     */
   def extractFeatures(df: DataFrame, idCol: String, payloadCol: String, dim: Int = 16): DataFrame = {
     val schema = df.schema
       .add("ok", "boolean")
       .add("byte_len", "long")
-      .add("sha1", "string")
+      .add("sha256", "string")
       .add("embedding", org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     val payloadIdx = df.schema.fieldIndex(payloadCol)
@@ -89,12 +92,12 @@ object Multimodal {
         val feats =
           try {
             if (payload == null) MediaFeatures(ok = false, 0L, "", new Array[Float](dim))
-            else MediaFeatures(ok = true, payload.length.toLong, sha1Hex(payload),
+            else MediaFeatures(ok = true, payload.length.toLong, sha256Hex(payload),
               stubDecodeEmbedding(payload, dim))
           } catch {
             case _: Throwable => MediaFeatures(ok = false, 0L, "", new Array[Float](dim))
           }
-        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(feats.ok, feats.byteLen, feats.sha1, feats.embedding.toSeq))
+        org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(feats.ok, feats.byteLen, feats.sha256, feats.embedding.toSeq))
       }
     }(enc)
   }

@@ -16,7 +16,7 @@ class MultimodalSpec extends SparkSuite {
 
   test("extractFeatures: schema, null-safety, deterministic stub embedding") {
     val out = Multimodal.extractFeatures(media, "id", "payload", dim = 8)
-    assert(out.columns.toSeq == Seq("id", "payload", "ok", "byte_len", "sha1", "embedding"))
+    assert(out.columns.toSeq == Seq("id", "payload", "ok", "byte_len", "sha256", "embedding"))
     assert(out.count() == 100)
     val bad = out.filter(!col("ok")).count()
     assert(bad == 10, s"null payloads must map to ok=false, got $bad")
@@ -25,10 +25,10 @@ class MultimodalSpec extends SparkSuite {
     val e2 = Multimodal.extractFeatures(media, "id", "payload", dim = 8)
       .filter(col("id") === 5).select("embedding").as[Seq[Float]].head()
     assert(e1 == e2 && e1.length == 8)
-    // sha1 matches a local digest
+    // sha256 matches a local digest
     val row5 = media.filter(col("id") === 5).select("payload").as[Array[Byte]].head()
-    val sha = out.filter(col("id") === 5).select("sha1").as[String].head()
-    assert(sha == Multimodal.sha1Hex(row5))
+    val sha = out.filter(col("id") === 5).select("sha256").as[String].head()
+    assert(sha == Multimodal.sha256Hex(row5))
   }
 
   test("sampleFrames: n frames per non-empty payload, bounded frame size") {
