@@ -287,12 +287,19 @@ object Dedup {
     * @param pairs (id_a, id_b) — undirected candidate edges
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    // lineage MUST be cut every round: `labels` feeds the next iteration
+    // twice (join + union), so without truncation the logical plan doubles
+    // per round — 2^iter leaves; observed as a 2 GB plan string and an
+    // analyzer death spiral at iteration ~20. `localCheckpoint(eager)`
+    // materializes the round and restarts the plan from the cached blocks
+    // (a production run over unreliable executors would use
+    // `checkpoint` with a reliable dir — same shape, durable blocks).
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = nodes.select(col(nodes.columns.head).as("id"))
       .withColumn("component", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -301,14 +308,12 @@ object Dedup {
         .select(col("dst").as("id"), col("component"))
         .unionByName(labels)
       val next = msgs.groupBy("id").agg(min("component").as("component"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 
