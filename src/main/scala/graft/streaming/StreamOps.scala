@@ -48,4 +48,54 @@ object StreamOps {
         col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"), col("total"))
+
+  /** Streaming first-seen dedup with TTL'd custom state
+    * (`flatMapGroupsWithState`): emits only the FIRST event per key; the
+    * per-key seen-marker is dropped by event-time timeout once the
+    * watermark passes `ttl` — bounded state on an unbounded stream, the
+    * ingest-time exact-dedup a web-crawl pipeline runs in front of the
+    * batch near-dup stages. Works identically on a batch frame (state
+    * spans the whole batch; no timeout semantics needed).
+    *
+    * Input needs (keyCol: string-castable, tsCol: timestamp); emits the
+    * first row's (key, ts) per key.
+    */
+  def dedupFirstSeen(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      watermarkDelay: String,
+      ttl: String
+  ): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    // watermark AFTER the projection: re-aliasing the event-time column
+    // would detach the watermark tag and EventTimeTimeout rejects the plan
+    val keyed = events
+      .select(col(keyCol).cast("string").as("k"), col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+    val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
+    keyed.flatMapGroupsWithState[Long, (String, java.sql.Timestamp)](
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+      (key: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[Long]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else if (state.exists) {
+          Iterator.empty // key already seen within the TTL
+        } else {
+          val first = rows.minBy(_._2.getTime)
+          state.update(first._2.getTime)
+          // batch execution has no watermark/timeout machinery — state
+          // lives for the single batch and the TTL is moot there
+          scala.util.Try(state.setTimeoutTimestamp(first._2.getTime + ttlMillis))
+          Iterator.single(first)
+        }
+    }.toDF("k", "first_ts").withColumnRenamed("k", keyCol)
+  }
 }

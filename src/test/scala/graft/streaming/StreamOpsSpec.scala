@@ -67,4 +67,51 @@ class StreamOpsSpec extends SparkSuite {
       .select("user", "n", "total").as[(Long, Long, Double)].collect().toSet
     assert(streamOut == batchOut, s"stream=$streamOut batch=$batchOut")
   }
+
+  test("streaming first-seen dedup: one row per key, repeats dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val events = input.toDF().toDF("ts", "fp")
+    val out = StreamOps.dedupFirstSeen(events, "fp", "ts", "0 seconds", "1 hour")
+    val q = out.writeStream.outputMode("append").format("memory").queryName("dedup_out").start()
+    input.addData(
+      (ts("2024-01-01 00:00:00"), "a"),
+      (ts("2024-01-01 00:00:05"), "a"),  // dup in the same batch
+      (ts("2024-01-01 00:00:10"), "b")
+    )
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:05:00"), "a")) // dup across batches
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 00:06:00"), "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").select("fp").as[String].collect().sorted.toVector
+    assert(got == Vector("a", "b", "c"), got.toString)
+    // the batch form: same operator over a static frame
+    val batch = Seq((ts("2024-01-01 00:00:00"), "x"), (ts("2024-01-01 00:00:05"), "x"))
+      .toDF("ts", "fp")
+    val bOut = StreamOps.dedupFirstSeen(batch, "fp", "ts", "0 seconds", "1 hour")
+    assert(bOut.count() == 1)
+  }
+
+  test("streaming scoring: a fitted carver model transforms a stream (pure projection)") {
+    import graft.carve.BinaryCarver
+    implicit val sqlCtx = spark.sqlContext
+    // fit on a small batch frame
+    val train = (0 until 2000).map { i => ((i % 100).toDouble, if (i % 100 > 60) 1 else 0) }
+      .toDF("x", "y")
+    val m = BinaryCarver.fit(train, "y", Seq(BinaryCarver.FeatureSpec("x", "quantitative")))
+    // score a stream with the same model — transform is shuffle-free, so it
+    // plans as a streaming projection without state
+    val input = MemoryStream[Double]
+    val scored = m.transform(input.toDF().toDF("x"), keepOriginal = true)
+    val q = scored.writeStream.outputMode("append").format("memory").queryName("scored_out").start()
+    input.addData(10.0, 70.0, 95.0)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scored_out").select("x", "x_bin").as[(Double, Int)].collect().toMap
+    val batchCodes = m.transform(Seq(10.0, 70.0, 95.0).toDF("x"), keepOriginal = true)
+      .select("x", "x_bin").as[(Double, Int)].collect().toMap
+    assert(got == batchCodes, s"stream $got vs batch $batchCodes")
+  }
 }
