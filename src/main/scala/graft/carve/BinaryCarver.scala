@@ -400,9 +400,13 @@ object BinaryCarver {
   private def categoricalBinExpr(f: FittedFeature, c: Column): Column = {
     val nanCase = if (f.nanBin >= 0) lit(f.nanBin) else lit(null).cast("int")
     val unseen = if (f.otherBin >= 0) lit(f.otherBin) else lit(null).cast("int")
+    // O(1) compiled hash probe — `element_at` on a map literal is a LINEAR
+    // scan of the key array per row (GetMapValue over ArrayBasedMapData),
+    // quadratic pain for 10^5-modality vocabularies on the scoring path
     val mapped =
       if (f.valueToBin.isEmpty) unseen
-      else coalesce(element_at(typedlit(f.valueToBin), categoricalStringExpr(c)), unseen)
+      else graft.transform.MapLookup.column(categoricalStringExpr(c), f.valueToBin,
+        if (f.otherBin >= 0) f.otherBin else graft.transform.MapLookup.NullMiss)
     when(c.isNull, nanCase).otherwise(mapped).cast("int")
   }
 
