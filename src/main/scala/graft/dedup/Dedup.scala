@@ -307,8 +307,21 @@ object Dedup {
       val msgs = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("component"))
         .unionByName(labels)
-      val next = msgs.groupBy("id").agg(min("component").as("component"))
+      // materialized once per round; the jump side re-wraps the SAME cached
+      // blocks with fresh attribute ids (self-joins of one plan trip the
+      // analyzer's attribute dedup)
+      val hop = msgs.groupBy("id").agg(min("component").as("component"))
         .localCheckpoint(true)
+      val hopCopy = hop.sparkSession.createDataFrame(hop.rdd, hop.schema)
+      // pointer jump (path halving): follow the label's own label — the
+      // component ids ARE node ids, so one extra join per round turns
+      // O(diameter) convergence into O(log diameter); long dup-chains
+      // (serial near-identical crawl snapshots) stop dominating rounds
+      val next = hop
+        .join(hopCopy.select(col("id").as("pid"), col("component").as("pcomp")),
+          hop("component") === col("pid"), "left")
+        .select(hop("id").as("id"),
+          coalesce(col("pcomp"), hop("component")).as("component"))
       changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).count()
       labels = next
