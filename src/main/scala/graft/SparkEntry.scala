@@ -470,7 +470,10 @@ object SparkEntry {
        |  FROM docs d LEFT JOIN (SELECT id, list(sg ORDER BY pi) AS sig FROM sigrow GROUP BY id) r USING (id)
        |),
        |banded AS (
+       |  -- empty-shingle docs (all-Long.MaxValue signature) are quarantined
+       |  -- out of LSH banding, mirroring Dedup.minhashCandidatePairs
        |  SELECT id, b, sig[4*b+1:4*b+4] AS key FROM sigs, (SELECT unnest(range(0, 16)) AS b)
+       |  WHERE len(list_filter(sig, x -> x <> 9223372036854775807)) > 0
        |),
        |cand AS (
        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b
@@ -768,10 +771,20 @@ object SparkEntry {
              len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / 64.0 AS est
            FROM cand c JOIN sigs sa ON sa.id = c.id_a JOIN sigs sb ON sb.id = c.id_b
          ),
+         se AS (
+           -- exact-path edges for quarantined empty-shingle docs (length < 5),
+           -- mirroring Dedup.nearDupComponents' short-doc routing
+           SELECT min(id) OVER (PARTITION BY t) AS a, id AS b
+           FROM docs WHERE length(t) < 5
+         ),
          e2 AS (
            SELECT id_a AS a, id_b AS b FROM scored WHERE est >= 0.5
            UNION ALL
            SELECT id_b AS a, id_a AS b FROM scored WHERE est >= 0.5
+           UNION ALL
+           SELECT a, b FROM se WHERE a <> b
+           UNION ALL
+           SELECT b AS a, a AS b FROM se WHERE a <> b
          ),
          reach(a, b) AS (
            SELECT id, id FROM docs

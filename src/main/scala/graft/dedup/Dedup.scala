@@ -132,18 +132,39 @@ object Dedup {
       .select(col(idCol).as("id"), col("minhash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Empty-shingle docs (normalized text shorter than shingleK) all share
+    // the degenerate all-Long.MaxValue signature, hence identical keys in
+    // EVERY band: at web scale tens of millions of near-empty pages would
+    // funnel into one bucket. They carry no shingle evidence, so LSH has
+    // nothing to say about them — quarantine them out of banding entirely
+    // (identical short texts still dedup via the exact path; see
+    // [[nearDupComponents]]).
     val banded = sigs
+      .filter(!forall(col("minhash"), v => v === lit(Long.MaxValue)))
       .select(col("id"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band_idx"), xxhash64(slice(col("minhash"), b * rows + 1, lit(rows))).as("band_hash"))
         )).as("band"))
       .select(col("band.band_idx"), col("band.band_hash"), col("id"))
 
-    // one aggregation per bucket: sorted id list capped at maxBucket, then
-    // intra-bucket pairs exploded from the list (no self-join, no window)
-    val buckets = banded
+    // Cap membership BEFORE any aggregation buffer materializes: the
+    // row_number window spills to disk per partition (WindowExec uses a
+    // spillable buffer), whereas capping after collect_list would first
+    // gather the ENTIRE bucket into one in-memory aggregation buffer —
+    // OOM on a degenerate bucket. Keeps the maxBucket smallest ids,
+    // identical to the previous slice(sort_array(...)) semantics.
+    val wBucket = Window.partitionBy(col("band_idx"), col("band_hash")).orderBy(col("id").asc)
+    val capped = banded
+      .withColumn("__rn", row_number().over(wBucket))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+
+    // one aggregation per bucket (already hash-partitioned by the window's
+    // partitionBy, so this groupBy reuses the partitioning — no re-shuffle),
+    // then intra-bucket pairs exploded from the list (no self-join)
+    val buckets = capped
       .groupBy(col("band_idx"), col("band_hash"))
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val pairArr = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))), y =>
@@ -294,6 +315,7 @@ object Dedup {
     // materializes the round and restarts the plan from the cached blocks
     // (a production run over unreliable executors would use
     // `checkpoint` with a reliable dir — same shape, durable blocks).
+    val spark = nodes.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -303,16 +325,28 @@ object Dedup {
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
+      // Convergence detection rides the round's own materialization: the
+      // node's previous label is carried through the aggregation (each id
+      // contributes its own label exactly once, so max("own") recovers it
+      // with no extra join) and a LongAccumulator ticks inside the eager
+      // localCheckpoint whenever a label changed. The earlier formulation
+      // re-joined `next` against `labels` purely to count changes — one
+      // extra |V|-sized shuffle join per round, 2 jobs -> 3. Accumulator
+      // semantics are safe here: task retries can only inflate a non-zero
+      // count, never turn a converged round (all ticks skipped) non-zero.
+      val acc = spark.sparkContext.longAccumulator(s"cc_changed_iter$iter")
       // each node adopts the min component among itself and its neighbours
       val msgs = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("component"))
-        .unionByName(labels)
+        .select(col("dst").as("id"), col("component"), lit(null).cast("long").as("own"))
+        .unionByName(labels.select(col("id"), col("component"), col("component").as("own")))
       // materialized once per round; the jump side re-wraps the SAME cached
       // blocks with fresh attribute ids (self-joins of one plan trip the
       // analyzer's attribute dedup)
-      val hop = msgs.groupBy("id").agg(min("component").as("component"))
+      val hop = msgs.groupBy("id")
+        .agg(min("component").as("component"), max("own").as("old"))
         .localCheckpoint(true)
       val hopCopy = hop.sparkSession.createDataFrame(hop.rdd, hop.schema)
+      val tick = udf { (c: Long, o: Long) => if (c != o) acc.add(1L); c }
       // pointer jump (path halving): follow the label's own label — the
       // component ids ARE node ids, so one extra join per round turns
       // O(diameter) convergence into O(log diameter); long dup-chains
@@ -321,9 +355,9 @@ object Dedup {
         .join(hopCopy.select(col("id").as("pid"), col("component").as("pcomp")),
           hop("component") === col("pid"), "left")
         .select(hop("id").as("id"),
-          coalesce(col("pcomp"), hop("component")).as("component"))
-      changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
+          tick(coalesce(col("pcomp"), hop("component")), col("old")).as("component"))
+        .localCheckpoint(true)
+      changed = acc.value
       labels = next
       iter += 1
     }
@@ -333,17 +367,32 @@ object Dedup {
   /** End-to-end near-dup grouping: MinHash-LSH candidates at
     * `minEstJaccard`, then connected components — returns
     * (id, component) for EVERY row of `df`.
+    *
+    * Docs whose normalized text is shorter than `shingleK` have no
+    * shingles — [[minhashCandidatePairs]] quarantines them out of LSH
+    * (degenerate all-identical signature). They still belong to dedup:
+    * identical short texts are linked through the EXACT path here (one
+    * md5-partitioned window over only the short subset — at web scale a
+    * tiny digest-keyed shuffle, never the text).
     */
   def nearDupComponents(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      minEstJaccard: Double = 0.5
+      minEstJaccard: Double = 0.5,
+      shingleK: Int = 5
   ): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol)
+    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleK = shingleK)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"))
-    connectedComponents(df.select(col(idCol)), pairs)
+    val normText = trim(lower(col(textCol)))
+    val wShort = Window.partitionBy(md5(normText.cast("binary")))
+    val shortEdges = df
+      .filter(coalesce(length(normText), lit(0)) < shingleK)
+      .select(col(idCol).as("id_b"), min(col(idCol)).over(wShort).as("id_a"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(df.select(col(idCol)), pairs.unionByName(shortEdges))
   }
 
   /** Exact word n-gram Jaccard similarity for all pairs sharing at least

@@ -156,9 +156,19 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = vecs
       .select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("band", "key")))
-    val buckets = banded
+    // cap membership BEFORE aggregation: the row_number window spills per
+    // partition, whereas a post-collect_list slice would first gather the
+    // ENTIRE bucket into one in-memory aggregation buffer — OOM on a
+    // degenerate bucket (e.g. a mass of identical boilerplate embeddings).
+    // Keeps the maxBucket smallest ids, same semantics as the old slice.
+    val wBucket = Window.partitionBy(col("band"), col("key")).orderBy(col("id").asc)
+    val capped = banded
+      .withColumn("__rn", row_number().over(wBucket))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
+    val buckets = capped
       .groupBy(col("band"), col("key"))
-      .agg(slice(sort_array(collect_list(col("id"))), 1, maxBucket).as("ids"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
     val pairArr = flatten(transform(col("ids"), (x, i) =>
       transform(slice(col("ids"), i + 2, size(col("ids"))), y =>

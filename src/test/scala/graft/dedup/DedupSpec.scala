@@ -67,6 +67,76 @@ class DedupSpec extends SparkSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L), comp.toString)
   }
 
+  test("LSH quarantines empty-shingle docs: 100k identical short docs emit zero pairs") {
+    // every sub-5-char doc has the degenerate all-Long.MaxValue signature —
+    // identical band keys in ALL 16 bands. Without the pre-banding
+    // quarantine + pre-aggregation cap these would funnel 100k ids into a
+    // single collect_list buffer. With it, they never reach banding at all.
+    val short = spark.range(100000).select(col("id"), lit("ab").as("text"))
+    val pairs = Dedup.minhashCandidatePairs(short, "id", "text")
+    assert(pairs.count() == 0L)
+  }
+
+  test("bucket cap is applied pre-aggregation and keeps the smallest ids") {
+    // 50 identical long texts, cap 10 -> every band's bucket caps to the
+    // same 10 smallest ids -> C(10,2)=45 distinct pairs, all est=1.0
+    val txt = "identical boilerplate page content repeated across many crawled urls"
+    val dups = (0 until 50).map(i => (i.toLong, txt)).toDF("id", "text")
+    val pairs = Dedup.minhashCandidatePairs(dups, "id", "text", maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length == 45, s"got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a < 10 && b < 10 && a < b })
+  }
+
+  test("nearDupComponents routes identical short docs through the exact path") {
+    val docs = Seq(
+      (1L, "hi"), (2L, "hi"), (3L, "hi"),   // identical short texts: one component
+      (4L, "yo"),                             // different short text: singleton
+      (5L, "a normal length document about web scale near duplicate detection")
+    ).toDF("doc_id", "text")
+    val comp = Dedup.nearDupComponents(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L), comp.toString)
+  }
+
+  test("connectedComponents runs <=2 jobs per iteration (no separate convergence join)") {
+    import spark.implicits._
+    val nodes = (1L to 6L).toDF("id")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    // AQE materializes each shuffle stage as its own job, and a broadcast
+    // join submits a separate build job — both would make the count reflect
+    // physical stage structure, not algorithm rounds. Pin both off so one
+    // eager localCheckpoint == one job.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val bcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.sparkContext.addSparkListener(listener)
+    val comp =
+      try {
+        val c = Dedup.connectedComponents(nodes, pairs)
+        Thread.sleep(300) // let queued listener events drain
+        c
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+        spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastBefore)
+      }
+    // setup: edges + initial labels checkpoints (2 jobs); this graph
+    // converges in 2 iterations (one that changes labels, one that
+    // verifies no change) at <=2 jobs each -> <=6 total. The old
+    // formulation's extra per-round convergence join would make it 8.
+    assert(counter.get() <= 6, s"ran ${counter.get()} jobs")
+    val m = comp.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+  }
+
   test("nearDupComponents: planted truncated dups land in their original's component") {
     import spark.implicits._
     val docs = (0 until 40).map { i =>
