@@ -366,7 +366,11 @@ object SparkEntry {
       import s.implicits._
       report.features.map { f =>
         val flag = if (f.psiValue < 0.1) "stable" else if (f.psiValue < 0.25) "moderate" else "shifted"
-        (f.name, r6(f.psiValue), flag, r6(f.chi2Stat), r6(-math.log10(f.chi2P)),
+        // clamp: a p-value underflowing to 0.0 (stronger shift / larger sf
+        // than the fixture) would make -log10 infinite and BigDecimal(Inf)
+        // throw, killing the query — report the largest finite statistic
+        val p = math.max(f.chi2P, java.lang.Double.MIN_VALUE)
+        (f.name, r6(f.psiValue), flag, r6(f.chi2Stat), r6(-math.log10(p)),
           f.chi2P < 0.05, r6(f.cramerv), f.viableAsDev, f.unstable)
       }.toDF("feature", "psi", "psi_flag", "chi2_stat", "chi2_nlog10p",
         "chi2_significant", "chi2_v", "viable", "unstable")

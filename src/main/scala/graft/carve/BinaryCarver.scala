@@ -161,6 +161,10 @@ object BinaryCarver {
         otherBin = if (f.otherBin < 0) f.otherBin else remap(f.otherBin),
         binLabels = newLabels,
         rates = newRates)
+      // the reference's qualitative group() only merges adjacent ordinal
+      // groups — validate here so moveValue's whole-bin shortcut (which
+      // delegates straight to this method) can't leave a non-contiguous bin
+      checkOrdinalContiguity(featureName, nf)
       copy(features = features.map(x => if (x.name == featureName) nf else x))
     }
 

@@ -75,18 +75,29 @@ object Dedup {
     sig
   }
 
-  /** 64-bit FNV-1a over a string — shingle hash shared by minhash/simhash. */
+  /** 64-bit FNV-1a over a string's Unicode CODE POINTS — shingle hash
+    * shared by minhash/simhash/fingerprint. Code points (not UTF-16 code
+    * units) so the value is portable across engines: the DuckDB oracle's
+    * FNV SQL iterates `unicode(str[i])`, and supplementary-plane text
+    * (emoji etc.) would diverge under per-char iteration.
+    */
   def fnv1a(s: String): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < s.length) {
-      h ^= s.charAt(i).toLong
+      val cp = s.codePointAt(i)
+      h ^= cp.toLong
       h *= 0x100000001b3L
-      i += 1
+      i += Character.charCount(cp)
     }
     h
   }
 
+  /** Distinct k-char shingle hashes. Shingle WINDOWS slide over UTF-16
+    * units (substring), so window boundaries on supplementary-plane text
+    * differ from a code-point slicer — the cross-engine shingle contract
+    * is BMP text (each hash itself is code-point-faithful via [[fnv1a]]).
+    */
   def shingleHashes(text: String, k: Int): Iterator[Long] = {
     val t = if (text == null) "" else text.toLowerCase.trim
     if (t.length < k) Iterator.empty

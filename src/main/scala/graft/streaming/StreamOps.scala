@@ -79,7 +79,13 @@ object StreamOps {
       .groupByKey(_._1)
     val ttlMs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(ttl))
+    // a CalendarInterval month has no fixed millisecond length — silently
+    // dropping it would turn ttl="1 month" into ttlMillis=0 (state expires
+    // immediately, duplicates re-emitted). Reject instead of guessing.
+    require(ttlMs.months == 0, s"ttl '$ttl' uses months — specify days/hours/minutes instead")
     val ttlMillis = ttlMs.days * 86400000L + ttlMs.microseconds / 1000L
+    require(ttlMillis > 0, s"ttl '$ttl' must be positive")
+    val streaming = events.isStreaming
     keyed.flatMapGroupsWithState[Long, (String, java.sql.Timestamp)](
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
       (key: String, rows: Iterator[(String, java.sql.Timestamp)], state: GroupState[Long]) =>
@@ -91,9 +97,17 @@ object StreamOps {
         } else {
           val first = rows.minBy(_._2.getTime)
           state.update(first._2.getTime)
+          if (streaming) {
+            // a timeout at or below the current watermark is rejected by
+            // the state store — clamp to watermark+1 so late first-seen
+            // events still register SOME timeout (never silently skip it:
+            // a key with no timeout would pin its state forever, the exact
+            // leak the TTL exists to prevent)
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(wm + 1L, first._2.getTime + ttlMillis))
+          }
           // batch execution has no watermark/timeout machinery — state
           // lives for the single batch and the TTL is moot there
-          scala.util.Try(state.setTimeoutTimestamp(first._2.getTime + ttlMillis))
           Iterator.single(first)
         }
     }.toDF("k", "first_ts").withColumnRenamed("k", keyCol)

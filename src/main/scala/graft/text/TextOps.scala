@@ -61,18 +61,16 @@ object TextOps {
     round(lenScore * 0.4 + punctScore * 0.3 + stopScore * 0.3, 6)
   }
 
-  /** 64-bit document fingerprint: FNV-1a rolling hash over the normalized
-    * (lowercased, trimmed) text. FNV is used instead of Spark's builtin
-    * xxhash64 so the value is portable across engines — the correctness
-    * oracle recomputes it in plain SQL (modular HUGEINT arithmetic) and the
-    * dedup shingle hash ([[graft.dedup.Dedup.fnv1a]]) shares the kernel.
+  /** 64-bit document fingerprint: FNV-1a over the Unicode code points of
+    * the normalized (lowercased, trimmed) text. FNV is used instead of
+    * Spark's builtin xxhash64 so the value is portable across engines —
+    * the correctness oracle recomputes it in plain SQL (modular HUGEINT
+    * arithmetic over `unicode()` code points) and the dedup shingle hash
+    * ([[graft.dedup.Dedup.fnv1a]]) shares the kernel. Codegen expression
+    * (no UDF) — see [[graft.transform.Fnv1aFingerprint]].
     */
-  def fingerprint(text: Column): Column = {
-    val f = udf((s: String) =>
-      if (s == null) null.asInstanceOf[java.lang.Long]
-      else java.lang.Long.valueOf(graft.dedup.Dedup.fnv1a(s.toLowerCase.trim)))
-    f(text)
-  }
+  def fingerprint(text: Column): Column =
+    graft.transform.Fnv1aFingerprint.column(text)
 
   /** Language-ID heuristic: score the token stream against per-language
     * marker-word profiles; emit the argmax language or "und" when nothing

@@ -51,6 +51,23 @@ class OrdinalFeatureSpec extends SparkSuite {
     assert(f.binLabels.exists(l => l.contains("vhigh") && l.contains("high")))
   }
 
+  test("moveValue whole-bin shortcut still enforces ordinal contiguity") {
+    // fixture bins: {low}, {mid}, {high, vhigh} — "low" is alone in its
+    // bin, so moveValue takes the whole-bin groupBins shortcut. Merging it
+    // across "mid" must throw (reference move() checks target contiguity
+    // on EVERY move); the adjacent merge must succeed.
+    val f = model.kept.find(_.name == "ord_a").get
+    assume(f.valueToBin.count(_._2 == f.valueToBin("low")) == 1)
+    val gapBin = f.valueToBin("high")
+    assume(gapBin > f.valueToBin("low") + 1)
+    intercept[IllegalArgumentException] {
+      model.moveValue("ord_a", "low", gapBin)
+    }
+    val ok = model.moveValue("ord_a", "low", f.valueToBin("mid"))
+    val of = ok.kept.find(_.name == "ord_a").get
+    assert(of.valueToBin("low") == of.valueToBin("mid"))
+  }
+
   test("reference-saved ordinal JSON loads and transforms identically") {
     val m = RefJson.load(getClass.getResource("/golden/ref_saved_OrdinalFeature.json").getPath)
     val of = m.kept.find(_.name == "ord_a").get

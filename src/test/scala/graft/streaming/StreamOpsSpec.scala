@@ -94,6 +94,18 @@ class StreamOpsSpec extends SparkSuite {
     assert(bOut.count() == 1)
   }
 
+  test("dedupFirstSeen rejects month-based and non-positive TTLs") {
+    val batch = Seq((ts("2024-01-01 00:00:00"), "x")).toDF("ts", "fp")
+    // CalendarInterval months have no fixed millisecond length — silently
+    // dropping them would yield ttlMillis=0 (state expires instantly)
+    intercept[IllegalArgumentException] {
+      StreamOps.dedupFirstSeen(batch, "fp", "ts", "0 seconds", "1 month")
+    }
+    intercept[IllegalArgumentException] {
+      StreamOps.dedupFirstSeen(batch, "fp", "ts", "0 seconds", "0 seconds")
+    }
+  }
+
   test("streaming scoring: a fitted carver model transforms a stream (pure projection)") {
     import graft.carve.BinaryCarver
     implicit val sqlCtx = spark.sqlContext
