@@ -568,15 +568,7 @@ object BinaryCarver {
       sketched: Map[String, Vector[Double]] = Map.empty)
       : (Map[String, Array[HistRow]], Seq[Map[String, Array[HistRow]]]) = {
     val y = col(target).cast("double")
-    val entries = specs.map { s =>
-      if (s.kind == "quantitative")
-        struct(lit(s.name).as("fid"), quantValueExpr(s.name, sketched).as("dv"),
-          lit(null).cast("string").as("sv"))
-      else
-        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
-          categoricalStringExpr(col(s.name)).as("sv"))
-    }
-    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"),
+    val long = df.select(explode(array(histEntries(specs, sketched): _*)).as("e"), y.as("__y"),
       foldKeyExpr(specs, target, cv).as("__fold"))
     val agg = long
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"), col("__fold"))
@@ -670,14 +662,11 @@ object BinaryCarver {
   /** One histogram row: raw value (numeric or string; null = NaN bucket). */
   final case class HistRow(dv: Double, sv: String, isNull: Boolean, count: Long, sumY: Double)
 
-  /** The one cluster pass: explode features to long form, aggregate
-    * count + sum(y) per (feature, value). Map-side partial aggregation
-    * keeps the shuffle at (features × cardinality) rows.
+  /** Long-form (fid, dv, sv) entry structs — the explode payload shared by
+    * every histogram pass (binary/fold/multiclass variants).
     */
-  def histogram(df: DataFrame, target: String, specs: Seq[FeatureSpec],
-      sketched: Map[String, Vector[Double]] = Map.empty): Map[String, Array[HistRow]] = {
-    val y = col(target).cast("double")
-    val entries = specs.map { s =>
+  def histEntries(specs: Seq[FeatureSpec], sketched: Map[String, Vector[Double]]): Seq[Column] =
+    specs.map { s =>
       if (s.kind == "quantitative")
         struct(lit(s.name).as("fid"), quantValueExpr(s.name, sketched).as("dv"),
           lit(null).cast("string").as("sv"))
@@ -685,7 +674,15 @@ object BinaryCarver {
         struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
           categoricalStringExpr(col(s.name)).as("sv"))
     }
-    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"))
+
+  /** The one cluster pass: explode features to long form, aggregate
+    * count + sum(y) per (feature, value). Map-side partial aggregation
+    * keeps the shuffle at (features × cardinality) rows.
+    */
+  def histogram(df: DataFrame, target: String, specs: Seq[FeatureSpec],
+      sketched: Map[String, Vector[Double]] = Map.empty): Map[String, Array[HistRow]] = {
+    val y = col(target).cast("double")
+    val long = df.select(explode(array(histEntries(specs, sketched): _*)).as("e"), y.as("__y"))
     val agg = long
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"))
       .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("sy"))

@@ -58,7 +58,7 @@ object ContinuousCarver {
       if (!withMedians || config.cv <= 1) Seq.fill(foldHists.length)(Map.empty)
       else {
         val y = col(target).cast("double")
-        val foldKey = pmod(xxhash64(specs.map(sp => col(sp.name)) :+ col(target): _*), lit(config.cv))
+        val foldKey = BinaryCarver.foldKeyExpr(specs, target, config.cv)
         val entries = specs.map(sp => struct(lit(sp.name).as("fid"), labelExpr(sp, prep(sp.name)).as("lbl")))
         val rows = train.withColumn("__fold", foldKey)
           .select(col("__fold"), explode(array(entries: _*)).as("e"), y.as("y"))
@@ -110,15 +110,22 @@ object ContinuousCarver {
     Model(target, config.minFreq, config.maxNMod, "kruskal", fitted)
   }
 
-  /** Modality-label column for one prepped feature (fit-time only). */
+  /** Modality-label column for one prepped feature (fit-time only).
+    * Quantitative: the same O(log E) codegen binary search the transform
+    * path uses ([[graft.transform.BinarySearchBucketize]] — identical
+    * `searchsorted(side='left')` semantics as the former chained
+    * `when(x <= e_i)` ladder) + one O(1) literal-array label lookup.
+    */
   private def labelExpr(spec: FeatureSpec, p: Prep): Column =
     if (spec.kind == "quantitative") {
       val x = col(spec.name).cast("double")
-      val base: Column = lit(p.prebinLeader.last)
-      val expr = p.prebinEdges.indices.reverse.foldLeft(base) { (acc, i) =>
-        when(x <= p.prebinEdges(i), lit(p.prebinLeader(i))).otherwise(acc)
-      }
-      when(x.isNull || isnan(x), lit(NanLabel)).otherwise(expr)
+      val leaders = p.prebinLeader
+      // idx ∈ [0, edges.length]; clamp covers the (invariant) case of a
+      // leader list shorter than edges+1
+      val mapping = (0 to p.prebinEdges.length).map(i => math.min(i, leaders.length - 1)).toVector
+      val idx = graft.transform.BinarySearchBucketize.column(x, p.prebinEdges, mapping, nanBin = -1)
+      when(x.isNull || isnan(x), lit(NanLabel))
+        .otherwise(element_at(typedlit(leaders), idx + 1))
     } else {
       val c = BinaryCarver.categoricalStringExpr(col(spec.name))
       val mapped =

@@ -66,15 +66,7 @@ object MulticlassCarver {
   def histogramM(df: DataFrame, target: String, specs: Seq[FeatureSpec],
       sketched: Map[String, Vector[Double]] = Map.empty): (Map[String, Array[KHistRow]], Vector[String]) = {
     val y = col(target).cast("string")
-    val entries = specs.map { s =>
-      if (s.kind == "quantitative")
-        struct(lit(s.name).as("fid"), BinaryCarver.quantValueExpr(s.name, sketched).as("dv"),
-          lit(null).cast("string").as("sv"))
-      else
-        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
-          BinaryCarver.categoricalStringExpr(col(s.name)).as("sv"))
-    }
-    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"))
+    val long = df.select(explode(array(BinaryCarver.histEntries(specs, sketched): _*)).as("e"), y.as("__y"))
     val agg = long
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"), col("__y"))
       .agg(count(lit(1)).as("cnt"))
@@ -105,15 +97,7 @@ object MulticlassCarver {
       sketched: Map[String, Vector[Double]] = Map.empty)
       : (Map[String, Array[KHistRow]], Vector[String], Seq[Map[String, Array[KHistRow]]]) = {
     val y = col(target).cast("string")
-    val entries = specs.map { s =>
-      if (s.kind == "quantitative")
-        struct(lit(s.name).as("fid"), BinaryCarver.quantValueExpr(s.name, sketched).as("dv"),
-          lit(null).cast("string").as("sv"))
-      else
-        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
-          BinaryCarver.categoricalStringExpr(col(s.name)).as("sv"))
-    }
-    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"),
+    val long = df.select(explode(array(BinaryCarver.histEntries(specs, sketched): _*)).as("e"), y.as("__y"),
       BinaryCarver.foldKeyExpr(specs, target, cv).as("__fold"))
     val agg = long
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"),

@@ -327,10 +327,21 @@ object Dedup {
     // (a production run over unreliable executors would use
     // `checkpoint` with a reliable dir — same shape, durable blocks).
     val spark = nodes.sparkSession
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // both edge directions from ONE pass over `pairs` (a union of two
+    // selects would evaluate the upstream pair-generation subplan — at
+    // near-dup scale, the whole LSH pipeline — twice in the same job)
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .localCheckpoint(true)
-    var labels = nodes.select(col(nodes.columns.head).as("id"))
+    // Iterate on the EDGE-INDUCED subgraph only: every node outside it is
+    // its own component and needs no propagation. In a near-dup graph the
+    // edge endpoints are a (often small) fraction of the corpus, so each
+    // round's joins/aggregations are sized by the duplicate clusters, not
+    // by |corpus| — singletons rejoin once at the end (one outer join)
+    // instead of riding every iteration.
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
     var iter = 0
@@ -372,7 +383,10 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels
+    // singletons (nodes with no edges) are their own component
+    nodes.select(col(nodes.columns.head).as("id"))
+      .join(labels.withColumnRenamed("component", "__comp"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("__comp"), col("id")).as("component"))
   }
 
   /** End-to-end near-dup grouping: MinHash-LSH candidates at

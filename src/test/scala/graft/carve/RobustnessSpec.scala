@@ -173,6 +173,40 @@ class RobustnessSpec extends SparkSuite {
     }
   }
 
+  test("datetime auto-reference resolution matches the reference (pinned by executing it)") {
+    // _resolve_datetime_references on this exact fixture (executed via the
+    // gen_ref_saved.py shims) returns {'a': 'b', 'b': '2023-12-31', 'c': 'b'}:
+    // anchor = b (latest max), non-anchor columns (all-null c included) are
+    // row-wise vs b, the anchor falls back to its own earliest DATE literal
+    val rows = Seq(
+      ("2024-01-05 10:00:00", "2023-12-31 23:59:59", null),
+      ("2024-02-01 00:30:00", "2024-03-05 12:00:00", null),
+      (null, "2024-01-01 00:00:00", null)
+    ).toDF("a", "b", "c")
+      .select(col("a").cast("timestamp"), col("b").cast("timestamp"), col("c").cast("timestamp"))
+    import DatetimeFeatures._
+    val specs = resolveReferences(rows, Seq("a", "b", "c"))
+    assert(specs.map(s => s.name -> s.referenceDate) ==
+      Seq("a" -> "b", "b" -> "2023-12-31", "c" -> "b"), specs.toString)
+    // single column -> its own earliest date ({'a': '2024-01-05'})
+    assert(resolveReferences(rows.select("a"), Seq("a")).head.referenceDate == "2024-01-05")
+    // tie on the max -> FIRST column in list order wins (Python max semantics):
+    // reference returns {'p': '2024-01-01', 'q': 'p'} and {'q': '2024-02-01', 'p': 'q'}
+    val tie = Seq(
+      ("2024-03-05 12:00:00", "2024-03-05 12:00:00"),
+      ("2024-01-01 00:00:00", "2024-02-01 00:00:00")
+    ).toDF("p", "q").select(col("p").cast("timestamp"), col("q").cast("timestamp"))
+    assert(resolveReferences(tie, Seq("p", "q")).map(s => s.name -> s.referenceDate) ==
+      Seq("p" -> "2024-01-01", "q" -> "p"))
+    assert(resolveReferences(tie, Seq("q", "p")).map(s => s.name -> s.referenceDate) ==
+      Seq("q" -> "2024-02-01", "p" -> "q"))
+    // all-null column with no anchor anywhere -> NaT sentinel, null deltas
+    val allNull = rows.select(col("c"))
+    val nat = resolveReferences(allNull, Seq("c"))
+    assert(nat.head.referenceDate == DatetimeFeatures.NaTReference)
+    assert(withTimedeltas(allNull, nat).select("c").collect().forall(_.isNullAt(0)))
+  }
+
   test("datetime feature carves as an ordinary quantitative (page pipeline shape)") {
     val rows = (0 until 2000).map { i =>
       val ts = java.sql.Timestamp.valueOf(f"2024-01-${1 + i % 28}%02d 00:00:00")
