@@ -203,6 +203,24 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("feature", "bin", "bin_label", "rate", "n")
     }),
+    "q_carve_nested" -> ((s, dir) => {
+      // nested FeatureSpec kind inside the carver fit (P6): fine=source_lang
+      // rolls up to source where rare, then carves — fixture-oracled against
+      // a reference BinaryCarver fit with a NestedFeature
+      import graft.carve.BinaryCarver
+      val df = Tables.documents(s, dir)
+        .withColumn("fine", concat_ws("_", col("source"), col("lang")))
+        .withColumn("y", docLabel)
+      val m = BinaryCarver.fit(df, "y",
+        Seq(BinaryCarver.FeatureSpec("fine", "nested", parents = Seq("source"))),
+        config = BinaryCarver.Config(minFreq = 0.04, maxNMod = 5))
+      val rows = m.kept.flatMap(f => f.rates.zipWithIndex.map { case (r, i) =>
+        (f.name, i.toLong, sortedLabel(f.binLabels(i)),
+          BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+      })
+      import s.implicits._
+      rows.toDF("feature", "bin", "bin_label", "rate", "n")
+    }),
     "q_carve_transform" -> ((s, dir) => {
       val m = carveDocs(s, dir)
       m.transform(Tables.documents(s, dir).withColumn("y", docLabel), keepOriginal = true)

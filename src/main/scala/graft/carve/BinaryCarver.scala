@@ -35,7 +35,9 @@ object BinaryCarver {
     * only with their declared neighbours, and the DP search groups only
     * consecutive declared values.
     */
-  final case class FeatureSpec(name: String, kind: String, ordinalOrder: Seq[String] = Nil)
+  final case class FeatureSpec(name: String, kind: String, ordinalOrder: Seq[String] = Nil,
+      // nested features: parent columns nearest→coarsest (P6/X4)
+      parents: Seq[String] = Nil)
 
   final case class FittedFeature(
       name: String,
@@ -59,6 +61,13 @@ object BinaryCarver {
       // user-declared ordinal features: the declared total value order —
       // needed by the manual-override contiguity check
       ordinalOrder: Vector[String] = Vector.empty,
+      // nested features: parent columns nearest→coarsest — the X4 unseen
+      // walk at transform time reads them from the scored frame
+      parents: Vector[String] = Vector.empty,
+      // nested features: surviving bucket LEADER -> bin. The X4 walk probes
+      // parent values against leaders only (reference remap_nested_unseen
+      // checks feature.values, never the full label_per_value)
+      leaderToBin: Map[String, Int] = Map.empty,
       // per-candidate search history (evaluation order); not serialized
       history: Vector[Search.HistoryEntry] = Vector.empty
   ) {
@@ -81,8 +90,9 @@ object BinaryCarver {
       * unseen at fit time when the feature has no default bucket.
       */
     def transform(df: DataFrame, keepOriginal: Boolean = false, checkValues: Boolean = false): DataFrame = {
+      val present = df.columns.toSet
       kept.foldLeft(df) { (d, f) =>
-        val binCol0 = transformColumn(f, col(f.name))
+        val binCol0 = transformColumn(f, col(f.name), present)
         val binCol =
           if (checkValues && f.kind == "categorical" && f.otherBin < 0)
             when(col(f.name).isNotNull && binCol0.isNull,
@@ -111,16 +121,19 @@ object BinaryCarver {
     }
 
     /** Human-readable label variant of transform. */
-    def transformLabels(df: DataFrame): DataFrame =
+    def transformLabels(df: DataFrame): DataFrame = {
+      val present = df.columns.toSet
       kept.foldLeft(df) { (d, f) =>
         val labels = f.binLabels
-        val codes = transformColumn(f, col(f.name))
+        val codes = transformColumn(f, col(f.name), present)
         val labelExpr = element_at(typedlit(labels), codes + 1)
         d.withColumn(s"${f.name}_label", labelExpr)
       }
+    }
 
-    private def transformColumn(f: FittedFeature, c: Column): Column =
+    private def transformColumn(f: FittedFeature, c: Column, present: Set[String] = Set.empty): Column =
       if (f.kind == "quantitative") quantitativeBinExpr(f, c)
+      else if (f.kind == "nested") nestedBinExpr(f, c, present)
       else categoricalBinExpr(f, c)
 
     /** Manual override (reference Features group/update surface): merge
@@ -401,6 +414,31 @@ object BinaryCarver {
   private def quantitativeBinExpr(f: FittedFeature, c: Column): Column =
     graft.transform.BinarySearchBucketize.column(c, f.prebinEdges, f.prebinToBin, f.nanBin)
 
+  /** Nested scoring (X4, reference `remap_nested_unseen`,
+    * `base_discretizer.py:676-712`): a seen finest value maps directly; an
+    * unseen one walks the row's parent columns nearest→coarsest to the
+    * first value that is a surviving bucket LEADER, then falls back to the
+    * default bucket (null when the fit pooled nothing into __OTHER__).
+    * Parent columns absent from the scoring frame are skipped, like the
+    * reference. All probes are O(1) compiled hash lookups; still a pure
+    * projection — no shuffle.
+    */
+  private def nestedBinExpr(f: FittedFeature, c: Column, present: Set[String]): Column = {
+    val nanCase = if (f.nanBin >= 0) lit(f.nanBin) else lit(null).cast("int")
+    val miss = graft.transform.MapLookup.NullMiss
+    val direct =
+      if (f.valueToBin.isEmpty) lit(null).cast("int")
+      else graft.transform.MapLookup.column(categoricalStringExpr(c), f.valueToBin, miss)
+    val parentHits = f.parents.filter(present.contains).map { p =>
+      if (f.leaderToBin.isEmpty) lit(null).cast("int")
+      else graft.transform.MapLookup.column(categoricalStringExpr(col(p)), f.leaderToBin, miss)
+    }
+    val fallback = if (f.otherBin >= 0) lit(f.otherBin) else lit(null).cast("int")
+    when(c.isNull, nanCase)
+      .otherwise(coalesce(direct +: parentHits :+ fallback: _*))
+      .cast("int")
+  }
+
   private def categoricalBinExpr(f: FittedFeature, c: Column): Column = {
     val nanCase = if (f.nanBin >= 0) lit(f.nanBin) else lit(null).cast("int")
     val unseen = if (f.otherBin >= 0) lit(f.otherBin) else lit(null).cast("int")
@@ -455,14 +493,20 @@ object BinaryCarver {
       s.kind match {
         case "quantitative" => require(dt.isInstanceOf[NumericType],
           s"quantitative feature '${s.name}' has non-numeric type ${dt.simpleString}")
-        case "categorical" | "ordinal" => require(
+        case "categorical" | "ordinal" | "nested" => require(
           dt.isInstanceOf[StringType] || dt.isInstanceOf[NumericType] || dt.isInstanceOf[BooleanType],
           s"${s.kind} feature '${s.name}' has unsupported type ${dt.simpleString}")
         case other => throw new IllegalArgumentException(
-          s"feature '${s.name}': unknown kind '$other' (quantitative | categorical | ordinal)")
+          s"feature '${s.name}': unknown kind '$other' (quantitative | categorical | ordinal | nested)")
       }
       if (s.kind == "ordinal")
         require(s.ordinalOrder.nonEmpty, s"ordinal feature '${s.name}' needs a declared value order")
+      if (s.kind == "nested") {
+        require(s.parents.nonEmpty, s"nested feature '${s.name}' needs at least one parent column")
+        require(!s.parents.contains(s.name), s"nested feature '${s.name}' can't be its own parent")
+        s.parents.foreach(p => require(schema.contains(p),
+          s"nested feature '${s.name}': parent column '$p' not in frame"))
+      }
     }
   }
 
@@ -634,6 +678,7 @@ object BinaryCarver {
       s.name -> (s.kind match {
         case "quantitative" => prepQuantitative(trainHist(s.name), totalOf(s.name), q, halfMinFreq, config)
         case "ordinal" => prepOrdinal(trainHist(s.name), totalOf(s.name), s.ordinalOrder, halfMinFreq, config)
+        case "nested" => prepNested(s, trainHist(s.name), totalOf(s.name), halfMinFreq, config)
         case _ => prepCategorical(trainHist(s.name), totalOf(s.name), halfMinFreq, config)
       })
     }.toMap
@@ -662,15 +707,36 @@ object BinaryCarver {
   /** One histogram row: raw value (numeric or string; null = NaN bucket). */
   final case class HistRow(dv: Double, sv: String, isNull: Boolean, count: Long, sumY: Double)
 
+  // nested sv encoding: level values joined by \u0001, nulls as \u0002 —
+  // control characters no extracted web-text value carries (the reference's
+  // StringDiscretizer output is printable); lets the nested rollup ride the
+  // SAME one-pass histogram scan as every other feature kind
+  private[carve] val NestedSep = "\u0001"
+  private[carve] val NestedNull = "\u0002"
+
+  private[carve] def decodeNestedSv(sv: String, nLevels: Int): Vector[String] = {
+    val parts = sv.split(NestedSep, -1)
+    Vector.tabulate(nLevels)(i => if (i < parts.length && parts(i) != NestedNull) parts(i) else null)
+  }
+
   /** Long-form (fid, dv, sv) entry structs — the explode payload shared by
-    * every histogram pass (binary/fold/multiclass variants).
+    * every histogram pass (binary/fold/multiclass variants). Nested features
+    * encode their whole (finest, parents...) tuple into sv so the rollup
+    * needs no second scan; a null finest value is the NaN bucket regardless
+    * of parents.
     */
   def histEntries(specs: Seq[FeatureSpec], sketched: Map[String, Vector[Double]]): Seq[Column] =
     specs.map { s =>
       if (s.kind == "quantitative")
         struct(lit(s.name).as("fid"), quantValueExpr(s.name, sketched).as("dv"),
           lit(null).cast("string").as("sv"))
-      else
+      else if (s.kind == "nested") {
+        val levels = (s.name +: s.parents).map(c =>
+          coalesce(categoricalStringExpr(col(c)), lit(NestedNull)))
+        val sv = when(col(s.name).isNull, lit(null).cast("string"))
+          .otherwise(concat_ws(NestedSep, levels: _*))
+        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"), sv.as("sv"))
+      } else
         struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
           categoricalStringExpr(col(s.name)).as("sv"))
     }
@@ -800,6 +866,46 @@ object BinaryCarver {
       Search.Xagg(xLabels, n0, n1), hasNan, hasDefault)
   }
 
+  /** Nested prep (P6 carver integration — reference QualitativeDiscretizer
+    * runs nested FIRST inside fit, `qualitative_discretizer.py:82-84`, via
+    * NestedDiscretizer at the carver's half min_freq): decodes the
+    * tuple-encoded histogram rows, runs the level-by-level rollup
+    * ([[Nested.rollupCore]]), then behaves like a categorical prep over the
+    * surviving buckets (target-rate order). The rollup rides the shared
+    * one-pass histogram scan — no extra cluster job. No frequency gate:
+    * nested modalities are legitimately rare pre-rollup (the reference's
+    * check_frequencies excludes nested features for the same reason).
+    * hasDefault is always true — the reference pins a default modality on
+    * every nested feature so transform-time unseen values have a fallback.
+    */
+  private[carve] def prepNested(spec: FeatureSpec, hist: Array[HistRow], total: Long,
+      halfMinFreq: Double, config: Config): Prep = {
+    val columns = spec.name +: spec.parents
+    val nonNull = hist.filterNot(_.isNull)
+    val nanCount = hist.filter(_.isNull).map(_.count).sum
+    val nanSumY = hist.filter(_.isNull).map(_.sumY).sum
+    val tuples = nonNull.toSeq.map(r =>
+      Nested.Tup(decodeNestedSv(r.sv, columns.length), r.count, r.sumY))
+    val res = Nested.rollupCore(columns, tuples, total, halfMinFreq, config.minFreqAlpha,
+      sortByTarget = true)
+    val hasNan = nanCount > 0
+    val order = res.order
+    val xLabels = if (hasNan) order :+ NanLabel else order
+    val n1 = order.map(l => res.bucketStats(l)._2).toArray ++
+      (if (hasNan) Array(nanSumY) else Array.empty[Double])
+    val n0 = order.map(l => res.bucketStats(l)._1 - res.bucketStats(l)._2).toArray ++
+      (if (hasNan) Array(nanCount - nanSumY) else Array.empty[Double])
+    // bin labels list every rolled-up finest member plus the bucket leader
+    // (the reference's GroupedList content after order.group(raw, bucket)),
+    // leader first per the engine's display convention
+    val members = order.map { b =>
+      val children = res.rawToBucket.collect { case (v, bb) if bb == b && v != b => v }.toVector.sorted
+      b -> (b +: children)
+    }.toMap
+    Prep("nested", Vector.empty, Vector.empty, res.rawToBucket, order,
+      Search.Xagg(xLabels, n0, n1), hasNan, hasDefault = true, members = members)
+  }
+
   /** Declared-ordinal prep (reference `OrdinalDiscretizer.fit` +
     * `find_common_modalities`, `ordinal_discretizer.py:94-187`): modality
     * order is the USER's declared total order (never target-rate sorted);
@@ -856,6 +962,18 @@ object BinaryCarver {
       val label =
         if (r.isNull) NanLabel
         else if (spec.kind == "quantitative") p.prebinLeader(searchsortedLeft(p.prebinEdges, r.dv))
+        else if (spec.kind == "nested") {
+          // X4 on the validation view: unseen finest values walk the tuple's
+          // parent values nearest→coarsest to the first surviving bucket
+          val levels = decodeNestedSv(r.sv, spec.parents.length + 1)
+          p.valueToRaw.get(levels.head) match {
+            case Some(lbl) => lbl
+            case None =>
+              val buckets = p.rawOrder.toSet
+              levels.tail.find(v => v != null && buckets.contains(v))
+                .getOrElse(if (buckets.contains(OtherLabel)) OtherLabel else null)
+          }
+        }
         else p.valueToRaw.getOrElse(r.sv, if (p.hasDefault) OtherLabel else null)
       if (label != null) {
         val (c, s) = acc.getOrElse(label, (0.0, 0.0))
@@ -914,10 +1032,18 @@ object BinaryCarver {
           // members — the bin label lists them all (declared order)
           val binLabels = b.combination.map(g =>
             g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
+          // nested: bucket leaders get their own map for the X4 parent walk
+          // (parent values are only ever matched against LEADERS)
+          val leaderToBin =
+            if (p.kind == "nested")
+              labelToBin.filterNot { case (l, _) => l == NanLabel || l == OtherLabel }
+            else Map.empty[String, Int]
           FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
             nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
             b.rates, dropped = false, droppedReason = "",
             ordinalOrder = if (p.kind == "ordinal") spec.ordinalOrder.toVector else Vector.empty,
+            parents = if (p.kind == "nested") spec.parents.toVector else Vector.empty,
+            leaderToBin = leaderToBin,
             history = if (histBuf == null) Vector.empty else histBuf.toVector)
         }
     }

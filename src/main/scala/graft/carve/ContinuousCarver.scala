@@ -26,6 +26,8 @@ object ContinuousCarver {
       config: Config = Config(sortBy = "kruskal")
   ): Model = {
     BinaryCarver.validateInputs(train, target, specs)
+    require(!specs.exists(_.kind == "nested"),
+      "nested features are currently supported by BinaryCarver only")
     val halfMinFreq = config.minFreq / 2.0
     val q = math.rint(1.0 / halfMinFreq).toInt
 

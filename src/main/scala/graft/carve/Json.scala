@@ -55,7 +55,9 @@ object Json {
         ("dropped" -> f.dropped) ~
         ("dropped_reason" -> f.droppedReason) ~
         ("stds" -> f.stds.map(num)) ~
-        ("ordinal_order" -> f.ordinalOrder)
+        ("ordinal_order" -> f.ordinalOrder) ~
+        ("parents" -> f.parents) ~
+        ("leader_to_bin" -> JObject(f.leaderToBin.toList.sortBy(_._1).map { case (k, v) => k -> JInt(v) }))
       })
     JsonMethods.pretty(JsonMethods.render(json))
   }
@@ -95,7 +97,12 @@ object Json {
         dropped = bool(f \ "dropped"),
         droppedReason = str(f \ "dropped_reason"),
         stds = arr(f \ "stds").map(numOf).toVector,
-        ordinalOrder = arr(f \ "ordinal_order").map(_.values.toString).toVector
+        ordinalOrder = arr(f \ "ordinal_order").map(_.values.toString).toVector,
+        parents = arr(f \ "parents").map(_.values.toString).toVector,
+        leaderToBin = (f \ "leader_to_bin") match {
+          case JObject(fields) => fields.map { case (k, v) => k -> int(v) }.toMap
+          case _ => Map.empty
+        }
       )
     }.toVector
     BinaryCarver.Model(

@@ -140,6 +140,8 @@ object MulticlassCarver {
       config: Config = Config()
   ): Model = {
     BinaryCarver.validateInputs(train, target, specs)
+    require(!specs.exists(_.kind == "nested"),
+      "nested features are currently supported by BinaryCarver only")
     val sketched = BinaryCarver.sketchHighCardinality(train, specs,
       BinaryCarver.Config(minFreq = config.minFreq,
         sketchCardinalityThreshold = config.sketchCardinalityThreshold,
@@ -479,6 +481,8 @@ object OneVsRestCarver {
       config: BinaryCarver.Config = BinaryCarver.Config()
   ): Model = {
     BinaryCarver.validateInputs(train, target, specs)
+    require(!specs.exists(_.kind == "nested"),
+      "nested features are currently supported by BinaryCarver only")
     val sketched = BinaryCarver.sketchHighCardinality(train, specs, config)
     // the class-histogram scan also yields the class set: no distinct() pass.
     // cv>1 folds share the same scan (fold key = one more groupBy column);

@@ -53,35 +53,31 @@ object Nested {
     }
   }
 
-  /** Fits the rollup for one nested hierarchy. `columns` is finest-first
-    * (output column, then its parents, coarsest last).
+  /** One grouped tuple of a nested hierarchy: level values finest-first
+    * (nulls preserved), count, sum of y.
     */
-  def fit(
-      df: DataFrame,
+  final case class Tup(values: Vector[String], cnt: Long, sy: Double)
+
+  final case class RollupResult(
+      rawToBucket: Map[String, String],
+      order: Vector[String],                      // surviving buckets
+      bucketStats: Map[String, (Double, Double)]  // bucket -> (count, sumY)
+  )
+
+  /** Driver-side rollup core over grouped (finest, parents..., cnt, sy)
+    * tuples — shared by the standalone [[fit]] and the carver-integrated
+    * nested FeatureSpec kind ([[BinaryCarver.prepNested]]). Tuples with a
+    * null finest value must already be excluded; `nobs` is the FULL row
+    * count (null finest included — frequency denominators use it).
+    */
+  private[carve] def rollupCore(
       columns: Seq[String],
+      tuples: Seq[Tup],
+      nobs: Long,
       minFreq: Double,
-      alpha: Double = 0.05,
-      target: Option[String] = None
-  ): Model = {
-    require(columns.length >= 2, "nested feature needs the output column plus at least one parent")
-    val finest = columns.head
-
-    // one cluster pass: counts (+ sum y for the target-rate sort) per tuple
-    val cols = columns.map(c => col(c).cast("string"))
-    val aggs = count(lit(1)).as("cnt") +:
-      target.map(t => sum(col(t).cast("double")).as("sy")).toSeq
-    val rows = df.groupBy(cols: _*).agg(aggs.head, aggs.tail: _*).collect()
-    val nobs = rows.map(_.getLong(columns.length)).sum
-
-    // tuples with non-null finest value
-    final case class Tup(values: Vector[String], cnt: Long, sy: Double)
-    val tuples = rows.flatMap { r =>
-      val vs = columns.indices.map(i => if (r.isNullAt(i)) null else r.getString(i)).toVector
-      if (vs.head == null) None
-      else Some(Tup(vs, r.getLong(columns.length),
-        if (target.isEmpty || r.isNullAt(columns.length + 1)) 0.0 else r.getDouble(columns.length + 1)))
-    }
-
+      alpha: Double,
+      sortByTarget: Boolean
+  ): RollupResult = {
     // parent maps between consecutive levels, validated (clean hierarchy)
     val parentMaps: Seq[Map[String, String]] = (0 until columns.length - 1).map { lvl =>
       val m = mutable.Map.empty[String, String]
@@ -129,18 +125,49 @@ object Nested {
     if (terminalRare.nonEmpty)
       current = current.view.mapValues(b => if (terminalRare(b)) BinaryCarver.OtherLabel else b).toMap
 
+    val stats = current.toSeq.groupBy(_._2).view.mapValues { kvs =>
+      val c = kvs.map(kv => finestStats(kv._1)._1.toDouble).sum
+      val s = kvs.map(kv => finestStats(kv._1)._2).sum
+      (c, s)
+    }.toMap
+
     // bucket order: target-rate ascending when y given (mirrors the
     // CategoricalDiscretizer sort), else first-appearance
-    val order: Vector[String] = target match {
-      case Some(_) =>
-        val stats = current.toSeq.groupBy(_._2).view.mapValues { kvs =>
-          val c = kvs.map(kv => finestStats(kv._1)._1.toDouble).sum
-          val s = kvs.map(kv => finestStats(kv._1)._2).sum
-          (c, s)
-        }.toMap
-        Prebin.targetRateOrder(stats)
-      case None => current.values.toVector.distinct
+    val order: Vector[String] =
+      if (sortByTarget) Prebin.targetRateOrder(stats)
+      else current.values.toVector.distinct
+    RollupResult(current, order, stats)
+  }
+
+  /** Fits the rollup for one nested hierarchy. `columns` is finest-first
+    * (output column, then its parents, coarsest last).
+    */
+  def fit(
+      df: DataFrame,
+      columns: Seq[String],
+      minFreq: Double,
+      alpha: Double = 0.05,
+      target: Option[String] = None
+  ): Model = {
+    require(columns.length >= 2, "nested feature needs the output column plus at least one parent")
+    val finest = columns.head
+
+    // one cluster pass: counts (+ sum y for the target-rate sort) per tuple
+    val cols = columns.map(c => col(c).cast("string"))
+    val aggs = count(lit(1)).as("cnt") +:
+      target.map(t => sum(col(t).cast("double")).as("sy")).toSeq
+    val rows = df.groupBy(cols: _*).agg(aggs.head, aggs.tail: _*).collect()
+    val nobs = rows.map(_.getLong(columns.length)).sum
+
+    // tuples with non-null finest value
+    val tuples = rows.flatMap { r =>
+      val vs = columns.indices.map(i => if (r.isNullAt(i)) null else r.getString(i)).toVector
+      if (vs.head == null) None
+      else Some(Tup(vs, r.getLong(columns.length),
+        if (target.isEmpty || r.isNullAt(columns.length + 1)) 0.0 else r.getDouble(columns.length + 1)))
     }
-    Model(finest, columns.tail, current, order)
+
+    val res = rollupCore(columns, tuples.toSeq, nobs, minFreq, alpha, sortByTarget = target.isDefined)
+    Model(finest, columns.tail, res.rawToBucket, res.order)
   }
 }

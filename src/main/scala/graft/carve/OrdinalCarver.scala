@@ -158,6 +158,8 @@ object OrdinalCarver {
       config: Config = Config()
   ): Model = {
     BinaryCarver.validateInputs(train, target, specs)
+    require(!specs.exists(_.kind == "nested"),
+      "nested features are currently supported by BinaryCarver only")
     val sketched = BinaryCarver.sketchHighCardinality(train, specs,
       BinaryCarver.Config(minFreq = config.minFreq,
         sketchCardinalityThreshold = config.sketchCardinalityThreshold,

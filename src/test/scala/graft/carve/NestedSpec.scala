@@ -82,4 +82,80 @@ class NestedSpec extends SparkSuite {
     val carved = BinaryCarver.fit(rolled, "y", Seq(BinaryCarver.FeatureSpec("city", "categorical")))
     assert(carved.kept.nonEmpty)
   }
+
+  // ---------------- nested as a carver FeatureSpec kind (P6 integration)
+
+  private lazy val nestedSpec =
+    BinaryCarver.FeatureSpec("city", "nested", parents = Seq("region", "country"))
+  private lazy val nestedModel =
+    BinaryCarver.fit(df, "y", Seq(nestedSpec), config = BinaryCarver.Config(minFreq = 0.1))
+
+  test("nested FeatureSpec kind: fit runs end-to-end inside BinaryCarver") {
+    val f = nestedModel.kept.find(_.name == "city").get
+    assert(f.kind == "nested")
+    assert(f.parents == Vector("region", "country"))
+    // the rollup ran inside fit at half min_freq (0.05): nice/cannes live in
+    // the paca bucket, tinytown pooled into __OTHER__
+    assert(f.valueToBin.contains("paris") && f.valueToBin.contains("nice"))
+    assert(f.valueToBin("nice") == f.valueToBin("cannes"))
+    assert(f.leaderToBin.contains("paca"), f.leaderToBin.toString)
+    assert(f.valueToBin("nice") == f.leaderToBin("paca"))
+    assert(f.hasDefault)
+  }
+
+  test("nested kind matches pre-rolled categorical carve (same bins, same transform)") {
+    // composing the standalone rollup (at the carver's half min_freq) with a
+    // categorical carve must give the identical model — the integrated kind
+    // is the same math riding one histogram pass
+    val pre = Nested.fit(df, Seq("city", "region", "country"), minFreq = 0.05, target = Some("y"))
+    val carved = BinaryCarver.fit(pre.transform(df), "y",
+      Seq(BinaryCarver.FeatureSpec("city", "categorical")),
+      config = BinaryCarver.Config(minFreq = 0.1))
+    val a = nestedModel.transform(df).select(col("id"), col("city")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = carved.transform(pre.transform(df)).select(col("id"), col("city")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
+  test("nested kind transform: X4 walk on unseen finest, null -> NaN handling") {
+    val f = nestedModel.kept.find(_.name == "city").get
+    val newData = Seq(
+      (1L, "antibes", "paca", "fr"),    // unseen city, parent is a bucket leader
+      (2L, "unknown", "nowhere", "zz"), // unseen everything -> default bucket
+      (3L, "paris", "idf", "fr"),
+      (4L, null.asInstanceOf[String], "idf", "fr")
+    ).toDF("id", "city", "region", "country")
+    val got = nestedModel.transform(newData).select("id", "city").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -99 else r.getInt(1))).toMap
+    assert(got(1L) == f.leaderToBin("paca"))
+    assert(got(2L) == (if (f.otherBin >= 0) f.otherBin else -99))
+    assert(got(3L) == f.valueToBin("paris"))
+    assert(got(4L) == (if (f.nanBin >= 0) f.nanBin else -99))
+  }
+
+  test("nested kind survives the engine JSON round-trip") {
+    val json = nestedModel.toJson
+    val back = Json.readModel(json)
+    val f = back.kept.find(_.name == "city").get
+    assert(f.kind == "nested" && f.parents == Vector("region", "country"))
+    assert(f.leaderToBin == nestedModel.kept.head.leaderToBin)
+    val a = nestedModel.transform(df).select("id", "city").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = back.transform(df).select("id", "city").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b)
+  }
+
+  test("nested kind validation: missing parents or self-parent raises") {
+    intercept[IllegalArgumentException] {
+      BinaryCarver.fit(df, "y", Seq(BinaryCarver.FeatureSpec("city", "nested")))
+    }
+    intercept[IllegalArgumentException] {
+      BinaryCarver.fit(df, "y",
+        Seq(BinaryCarver.FeatureSpec("city", "nested", parents = Seq("city"))))
+    }
+    intercept[IllegalArgumentException] {
+      BinaryCarver.fit(df, "y",
+        Seq(BinaryCarver.FeatureSpec("city", "nested", parents = Seq("not_a_col"))))
+    }
+  }
 }

@@ -173,6 +173,21 @@ oracle["q_carve_ovr"] = sql_values(orows,
     ["VARCHAR", "VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
 print("q_carve_ovr rows:", len(orows))
 
+# ------------------------------------------------------------ q_carve_nested
+# NestedFeature fit INSIDE BinaryCarver (P6 carver integration): the finest
+# column `fine` = source_lang rolls up to `source` where rare, then carves
+# as a qualitative feature (tests/features/qualitatives/test_nested_feature.py
+# is the behavior class).
+Xn = docs[["source"]].copy()
+Xn["fine"] = docs["source"] + "_" + docs["lang"]
+nc = AC.BinaryCarver(Features(nested={"fine": ["source"]}), min_freq=0.04, max_n_mod=5)
+nc.fit(Xn[["fine", "source"]].copy(), y_bin)
+rows = fit_rows(nc, ["fine"])
+oracle["q_carve_nested"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "rate", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_nested rows:", len(rows))
+
 # ---------------------------------------------------------------- q_select
 # Reference ClassificationSelector(n_best_features=2) decides the
 # kept/dropped statuses (the cross-engine part); the association column is
