@@ -59,6 +59,14 @@ object RefJson {
     read(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
 
   def read(json: String): BinaryCarver.Model = {
+    val (m, _) = readWithRaw(json)
+    m
+  }
+
+  /** Parses the model plus each feature's raw JSON (for family readers that
+    * need `rate_reference` payloads).
+    */
+  private def readWithRaw(json: String): (BinaryCarver.Model, Vector[(String, JValue)]) = {
     val top = JsonMethods.parse(json)
     val minFreq = numOf(top \ "min_freq")
     val maxNMod = (top \ "max_n_mod") match { case JInt(i) => i.toInt; case _ => 5 }
@@ -66,16 +74,81 @@ object RefJson {
       case JString(s) => s
       case _ => "tschuprowt"
     }
-    val feats = (top \ "features") match {
-      case JObject(fields) => fields.collect {
-        case (version, fj: JObject) if version != "is_fitted" => readFeature(version, fj)
-      }
-      case _ => Nil
+    val rateName = (top \ "combination_evaluator" \ "target_rate") match {
+      case JString(s) => s
+      case _ => "target_mean"
     }
-    BinaryCarver.Model("y", minFreq, maxNMod, sortBy, feats.toVector)
+    val raw = (top \ "features") match {
+      case JObject(fields) => fields.collect {
+        case (version, fj: JObject) if version != "is_fitted" => version -> (fj: JValue)
+      }.toVector
+      case _ => Vector.empty
+    }
+    val feats = raw.map { case (version, fj) => readFeature(version, fj.asInstanceOf[JObject], rateName) }
+    (BinaryCarver.Model("y", minFreq, maxNMod, sortBy, feats), raw)
   }
 
-  private def readFeature(version: String, fj: JObject): BinaryCarver.FittedFeature = {
+  /** Continuous-family load: same structural read; per-bin stds restored
+    * from the statistics `std` column.
+    */
+  def readContinuous(json: String): BinaryCarver.Model = read(json)
+
+  def loadOrdinal(path: String): OrdinalCarver.Model =
+    readOrdinal(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  /** Ordinal-family load: features plus each one's fitted ridit marginal
+    * (`rate_reference.levels/counts`) — enough to recompute comparable
+    * rates on a new sample at stability time.
+    */
+  def readOrdinal(json: String): OrdinalCarver.Model = {
+    val (m, raw) = readWithRaw(json)
+    val refs = raw.toMap
+    val fitted = m.features.map { f =>
+      val rr = refs.get(f.name).map(_ \ "rate_reference").getOrElse(JNothing)
+      val rate: Ordinal.ORate = rr match {
+        case JObject(_) =>
+          val levels = arrOf(rr \ "levels").map(numOf).toArray
+          val counts = arrOf(rr \ "counts").map(numOf).toArray
+          Ordinal.TargetMeanRidit(levels, counts)
+        case _ => null
+      }
+      OrdinalCarver.OFitted(f, Double.NaN, Double.NaN, Double.NaN, rate)
+    }
+    val levels = fitted.flatMap(of => Option(of.rateRef)).collectFirst {
+      case Ordinal.TargetMeanRidit(lv, _) if lv != null => lv.toVector
+    }.getOrElse(Vector.empty)
+    OrdinalCarver.Model(m.target, m.minFreq, m.maxNMod, m.sortBy, levels, fitted)
+  }
+
+  def loadMulticlass(path: String): MulticlassCarver.Model =
+    readMulticlass(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  /** Multiclass-family load: features plus each one's fitted CA axis. The
+    * reference schema carries no class NAMES (only col_mass/v1), so
+    * `classes` is empty — the stability monitor re-derives class order from
+    * the scored sample, exactly like the reference does.
+    */
+  def readMulticlass(json: String): MulticlassCarver.Model = {
+    val (m, raw) = readWithRaw(json)
+    val refs = raw.toMap
+    val fitted = m.features.map { f =>
+      val rr = refs.get(f.name).map(_ \ "rate_reference").getOrElse(JNothing)
+      val rate: Ordinal.ORate = rr match {
+        case JObject(_) =>
+          val colMass = arrOf(rr \ "col_mass").map(numOf).toArray
+          val v1 = arrOf(rr \ "v1").map(numOf).toArray
+          val degen = bool(rr \ "degenerate")
+          Multiclass.CAScoreRate(Ca.CAAxis(colMass, v1, degen))
+        case _ => null
+      }
+      MulticlassCarver.MFitted(f, Double.NaN, Double.NaN, rate)
+    }
+    MulticlassCarver.Model(m.target, m.minFreq, m.maxNMod, m.sortBy, Vector.empty, fitted)
+  }
+
+  private def arrOf(v: JValue): List[JValue] = v match { case JArray(a) => a; case _ => Nil }
+
+  private def readFeature(version: String, fj: JObject, rateName: String = "target_mean"): BinaryCarver.FittedFeature = {
     val j: JValue = fj
     val isQuant = bool(j \ "is_quantitative")
     val hasNan = bool(j \ "has_nan")
@@ -109,9 +182,19 @@ object RefJson {
       case JObject(fs) => fs.collect { case (k, v) if v != JNull => k -> numOf(v) }.toVector
       case _ => Vector.empty
     }
-    val tm = statMap("target_mean")
+    // the rate column is keyed by the family rate's name (target_mean /
+    // target_mean_ridit / ca_score / ...); fall back to target_mean
+    val tm = { val v = statMap(rateName); if (v.nonEmpty) v else statMap("target_mean") }
     val fr = statMap("frequency").toMap
     val cn = statMap("count").toMap
+    // continuous family: per-bin sample std rides the same statistics dict.
+    // keys may carry null (singleton bins, ddof=1) — keep positional order
+    val stdByLabel = (stats \ "std") match {
+      case JObject(fs) => fs.map { case (k, v) =>
+        k -> (v match { case JNull => Double.NaN; case x => numOf(x) })
+      }.toMap
+      case _ => Map.empty[String, Double]
+    }
 
     if (isQuant) {
       val memberVals: Vector[Vector[Either[String, Double]]] = groups.map(_.map {
@@ -144,9 +227,12 @@ object RefJson {
         if (b == nanBin && base.nonEmpty) s"$base or $Nan" else if (b == nanBin) Nan else base
       }
       val rates = ratesFrom(tm, fr, cn, binLabels.length)
+      val stds =
+        if (stdByLabel.isEmpty || tm.length != binLabels.length) Vector.empty[Double]
+        else tm.map(t => stdByLabel.getOrElse(t._1, Double.NaN))
       BinaryCarver.FittedFeature(version, "quantitative", edges, prebinToBin.toVector,
         Map.empty, nanBin, -1, hasNan, hasDefault, binLabels, Double.NaN, Double.NaN,
-        rates, dropped = false, droppedReason = "")
+        rates, dropped = false, droppedReason = "", stds = stds)
     } else {
       val memberStrs: Vector[Vector[String]] = groups.map(_.map {
         case JString(s) => s
@@ -165,10 +251,32 @@ object RefJson {
       // our display convention: leader (content's LAST member) first
       val binLabels = memberStrs.map(ms => (ms.last +: ms.init).mkString(", "))
       val rates = ratesFrom(tm, fr, cn, binLabels.length)
-      val kind = if (bool(j \ "is_ordinal")) "ordinal" else "categorical"
+      val kind =
+        if (bool(j \ "is_nested")) "nested"
+        else if (bool(j \ "is_ordinal")) "ordinal"
+        else "categorical"
+      val stds =
+        if (stdByLabel.isEmpty || tm.length != binLabels.length) Vector.empty[Double]
+        else tm.map(t => stdByLabel.getOrElse(t._1, Double.NaN))
+      // nested: the X4 walk probes parent values against the artifact's bin
+      // LEADERS (the reference's `feature.values` / remap_nested_unseen
+      // bucket_leaders set) — content's last member per group
+      val parents =
+        if (kind == "nested") (j \ "parents") match {
+          case JArray(a) => a.collect { case JString(s) => s }.toVector
+          case _ => Vector.empty[String]
+        }
+        else Vector.empty[String]
+      val leaderToBin =
+        if (kind == "nested")
+          memberStrs.zipWithIndex.collect {
+            case (ms, b) if ms.last != Nan && ms.last != Other => ms.last -> b
+          }.toMap
+        else Map.empty[String, Int]
       BinaryCarver.FittedFeature(version, kind, Vector.empty, Vector.empty,
         valueToBin.toMap, nanBin, otherBin, hasNan, hasDefault, binLabels,
-        Double.NaN, Double.NaN, rates, dropped = false, droppedReason = "")
+        Double.NaN, Double.NaN, rates, dropped = false, droppedReason = "",
+        stds = stds, parents = parents, leaderToBin = leaderToBin)
     }
   }
 
@@ -189,17 +297,70 @@ object RefJson {
     ()
   }
 
-  def write(m: BinaryCarver.Model, minFreqAlpha: Double = 0.05): String = {
+  def write(m: BinaryCarver.Model, minFreqAlpha: Double = 0.05): String =
+    writeTop(m, minFreqAlpha, "target_mean", Map.empty)
+
+  /** Continuous-family artifact (`ContinuousCarver` fit): same structural
+    * schema, `target_mean`/`target_median` rate, per-bin `std` in the
+    * statistics (the reference's `_extra_columns` for the Welch drift test).
+    * The rate itself is stateless — `rate_reference` stays null.
+    */
+  def writeContinuous(m: BinaryCarver.Model, targetRate: String = "target_mean",
+      minFreqAlpha: Double = 0.05): String =
+    writeTop(m, minFreqAlpha, targetRate, Map.empty)
+
+  /** Ordinal-family artifact: `target_mean_ridit` (or level) rate with the
+    * fitted train marginal snapshotted as `rate_reference` parallel lists
+    * (`ordinal_target_rates.py:66-81` reference_to_json).
+    */
+  def writeOrdinal(m: OrdinalCarver.Model, minFreqAlpha: Double = 0.05): String = {
+    val rateName = m.features.flatMap(f => Option(f.rateRef)).headOption
+      .map(_.name).getOrElse("target_mean_ridit")
+    val refs = m.features.map(of => of.feature.name -> rateRefJson(of.rateRef)).toMap
+    writeTop(m.binaryView, minFreqAlpha, rateName, refs)
+  }
+
+  /** Multiclass-family artifact: `ca_score` rate with the fitted CA axis as
+    * `rate_reference` (`multiclass_target_rates.py:53-62`). Class NAMES are
+    * not part of the reference schema (the axis stores only col_mass/v1) —
+    * a loaded model re-derives class order from the scored sample, exactly
+    * like the reference.
+    */
+  def writeMulticlass(m: MulticlassCarver.Model, minFreqAlpha: Double = 0.05): String = {
+    val rateName = m.features.flatMap(f => Option(f.rateRef)).headOption
+      .map(_.name).getOrElse("ca_score")
+    val refs = m.features.map(mf => mf.feature.name -> rateRefJson(mf.rateRef)).toMap
+    writeTop(m.binaryView, minFreqAlpha, rateName, refs)
+  }
+
+  /** Family rate state → the reference's `reference_to_json` payload. */
+  private def rateRefJson(r: Ordinal.ORate): String = r match {
+    case null => "null"
+    case Ordinal.TargetMeanRidit(levels, counts) if levels != null =>
+      // reference levels are crosstab column scalars: ints render as ints
+      // (`level.item()`), counts always as floats
+      val lv = levels.map(l =>
+        if (l == math.rint(l) && math.abs(l) < 1e15) l.toLong.toString else l.toString)
+      s"""{"levels": [${lv.mkString(", ")}], "counts": [${counts.map(pyFloatStr).mkString(", ")}]}"""
+    case Multiclass.CAScoreRate(axis) if axis != null =>
+      s"""{"col_mass": [${axis.colMass.mkString(", ")}], "v1": [${axis.v1.mkString(", ")}], """ +
+        s""""degenerate": ${axis.degenerate}}"""
+    case _ => "null" // stateless rates (TargetMeanLevel, continuous means)
+  }
+
+  private def writeTop(m: BinaryCarver.Model, minFreqAlpha: Double,
+      targetRate: String, rateRefs: Map[String, String]): String = {
     val sb = new StringBuilder
     sb.append("{\"features\": {")
-    val featJsons = m.kept.map(f => "\"" + esc(f.name) + "\": " + writeFeature(f))
+    val featJsons = m.kept.map(f =>
+      "\"" + esc(f.name) + "\": " + writeFeature(f, targetRate, rateRefs.getOrElse(f.name, "null")))
     sb.append(featJsons.mkString(", "))
     if (m.kept.nonEmpty) sb.append(", ")
     sb.append("\"is_fitted\": true}")
     sb.append(s""", "min_freq": ${m.minFreq}, "is_fitted": true""")
     sb.append(s""", "config": {"dropna": true, "n_jobs": 1, "verbose": false, "ordinal_encoding": true, "copy": true, "min_freq_alpha": $minFreqAlpha, "rescue_rare": false}""")
     sb.append(s""", "max_n_mod": ${m.maxNMod}""")
-    sb.append(s""", "combination_evaluator": {"sort_by": "${esc(m.sortBy)}", "target_rate": "target_mean", "verbose": false}""")
+    sb.append(s""", "combination_evaluator": {"sort_by": "${esc(m.sortBy)}", "target_rate": "${esc(targetRate)}", "verbose": false}""")
     sb.append(""", "dropped_features": [""")
     sb.append(m.features.filter(_.dropped).map(f => "\"" + esc(f.name) + "\"").mkString(", "))
     sb.append("]}")
@@ -214,7 +375,8 @@ object RefJson {
       case c => c.toString
     }
 
-  private def writeFeature(f: BinaryCarver.FittedFeature): String = {
+  private def writeFeature(f: BinaryCarver.FittedFeature, targetRate: String = "target_mean",
+      rateRef: String = "null"): String = {
     // (leaderJson, contentKeyString, memberJsons) per bin, in bin order
     val groups: Vector[(String, String, Vector[String])] =
       if (f.kind == "quantitative") {
@@ -251,17 +413,28 @@ object RefJson {
         val vs = if (v.isNaN) "null" else if (asInt) math.round(v).toString else v.toString
         "\"" + esc(f.binLabels(i)) + "\": " + vs
       }.mkString("{", ", ", "}")
+    // per-bin sample std (continuous family only) joins the statistics dict,
+    // keyed like the other columns (`_extra_columns` in the reference)
+    val stdDict =
+      if (f.stds.isEmpty || f.stds.length != f.binLabels.length) ""
+      else {
+        val d = f.stds.zipWithIndex.map { case (s, i) =>
+          "\"" + esc(f.binLabels(i)) + "\": " + (if (s.isNaN) "null" else s.toString)
+        }.mkString("{", ", ", "}")
+        s""", "std": $d"""
+      }
     val statistics =
       if (f.rates.isEmpty) "null"
-      else s"""{"target_mean": ${statDict(_.rate)}, "frequency": ${statDict(_.frequency)}, "count": ${statDict(_.count, asInt = true)}}"""
+      else s"""{"${esc(targetRate)}": ${statDict(_.rate)}, "frequency": ${statDict(_.frequency)}, "count": ${statDict(_.count, asInt = true)}$stdDict}"""
 
     s"""{"name": "${esc(f.name)}", "version": "${esc(f.name)}", "version_tag": "${esc(f.name)}", """ +
       s""""has_nan": ${f.hasNan}, "nan": "$Nan", "has_default": ${f.hasDefault}, "default": "$Other", """ +
       s""""dropna": true, "is_fitted": true, "values": $values, "content": $contentStr, """ +
       s""""is_qualitative": ${f.kind != "quantitative"}, "is_quantitative": ${f.kind == "quantitative"}, """ +
-      s""""is_categorical": ${f.kind == "categorical"}, "is_ordinal": ${f.kind == "ordinal"}, "is_nested": false, """ +
+      s""""is_categorical": ${f.kind == "categorical"}, "is_ordinal": ${f.kind == "ordinal"}, "is_nested": ${f.kind == "nested"}, """ +
+      (if (f.kind == "nested") s""""parents": [${f.parents.map(p => "\"" + esc(p) + "\"").mkString(", ")}], "max_n_chars": 50, """ else "") +
       s""""is_datetime": false, "ordinal_encoding": true, "statistics": $statistics, """ +
-      s""""rate_reference": null, "history": ${historyJson(f)}}"""
+      s""""rate_reference": $rateRef, "history": ${historyJson(f)}}"""
   }
 
   /** Per-candidate search history in the reference's `_history` dict shape

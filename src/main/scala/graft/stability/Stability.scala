@@ -389,16 +389,22 @@ object Stability {
   ): Report = {
     val kept = mm.kept
     if (kept.isEmpty) return Report(Vector.empty)
-    val classIdx = mm.classes.zipWithIndex.toMap
-    val unseen = newDf.select(col(target).cast("string")).distinct()
-      .collect().map(_.getString(0)).filterNot(c => c == null || classIdx.contains(c))
+    val observed = newDf.select(col(target).cast("string")).distinct()
+      .collect().map(_.getString(0)).filter(_ != null)
+    // a model loaded from a reference-schema artifact carries no class
+    // names (the CA axis stores only col_mass/v1) — derive the canonical
+    // sorted class order from the scored sample, like the reference's
+    // crosstab does; the axis dimension check in caRowScores still guards K
+    val classes = if (mm.classes.nonEmpty) mm.classes else observed.sorted.toVector
+    val classIdx = classes.zipWithIndex.toMap
+    val unseen = observed.filterNot(classIdx.contains)
     require(unseen.isEmpty, s"[Stability] new sample carries unseen classes ${unseen.mkString(", ")}")
     val yIdx = {
-      val pairs = mm.classes.zipWithIndex.flatMap { case (c, i) => Seq(lit(c), lit(i.toDouble)) }
+      val pairs = classes.zipWithIndex.flatMap { case (c, i) => Seq(lit(c), lit(i.toDouble)) }
       element_at(map(pairs: _*), col(target).cast("string"))
     }
     val counts = binLevelCounts(mm.binaryView, newDf, yIdx)
-    val levels = mm.classes.indices.map(_.toDouble).toVector
+    val levels = classes.indices.map(_.toDouble).toVector
     Report(kept.map { mf =>
       val f = mf.feature
       val per = counts.getOrElse(f.name, Map.empty)

@@ -69,7 +69,14 @@ scipy_stats = types.ModuleType("scipy.stats")
 scipy_stats.chi2_contingency = chi2_contingency
 scipy_stats.norm = _Norm()
 scipy_stats.t = _Norm()  # only .ppf-like use in stability; unused in fit
-for n in ("kruskal", "rankdata", "tiecorrect", "pearsonr", "spearmanr"):
+# the continuous/ordinal family fits need real rank statistics — reuse the
+# exact-parity numpy implementations from scishim
+import scishim as _scishim  # noqa: E402
+
+scipy_stats.kruskal = _scishim._kruskal
+scipy_stats.rankdata = _scishim._rankdata
+scipy_stats.tiecorrect = _scishim._tiecorrect
+for n in ("pearsonr", "spearmanr"):
     setattr(scipy_stats, n, _unused(n))
 scipy_spatial = types.ModuleType("scipy.spatial")
 scipy_spatial_distance = types.ModuleType("scipy.spatial.distance")
@@ -225,12 +232,56 @@ def main():
     print("ordinal values:", carver_o.features("ord_a").values,
           "content:", carver_o.features("ord_a").content)
 
+    # ---- ordinal / multiclass / continuous family artifacts ----------------
+    # (rate_reference payloads: ridit marginal / CA axis; continuous stds)
+    from AutoCarver import ContinuousCarver, MulticlassCarver, OrdinalCarver
+
+    Xf = X[["num_a", "cat_a"]].copy()
+    y_ord = pd.Series(1 + (X["num_a"] > -0.3).astype(int) + (X["num_a"] > 0.6).astype(int))
+    # class boundaries cut across num_a with cat_a-dependent noise so both
+    # features carry (imperfect) signal
+    mc_score = X["num_a"] + (X["cat_a"] < "d") * 0.8
+    y_mc = pd.Series(np.where(mc_score > 0.9, "high",
+                              np.where(mc_score > -0.2, "mid", "low")))
+    y_cont = X["num_a"] * 2.0 + X["num_b"]
+
+    fams = [
+        ("OrdinalCarver", OrdinalCarver, y_ord),
+        ("MulticlassCarver", MulticlassCarver, y_mc),
+        ("ContinuousCarver", ContinuousCarver, y_cont),
+    ]
+    fam_outs = {}
+    for fam_name, cls, yy in fams:
+        feats_f = Features(categoricals=["cat_a"], numericals=["num_a"])
+        cv = cls(feats_f, min_freq=0.05, max_n_mod=5,
+                 config=ProcessingConfig(ordinal_encoding=True))
+        cv.fit(Xf.copy(), yy)
+        cv.save(Path(OUT) / f"ref_saved_{fam_name}.json")
+        t = cv.transform(Xf.copy())
+        fam_outs[fam_name] = (cv, t, yy)
+        dump = Xf.copy()
+        dump.insert(0, "row", range(len(dump)))
+        dump["y"] = yy.values
+        dump["t_num_a"] = t["num_a"].values
+        dump["t_cat_a"] = t["cat_a"].values
+        dump.to_csv(Path(OUT) / f"ref_saved_{fam_name.lower()}.csv", index=False)
+        print(f"wrote {OUT}/ref_saved_{fam_name}.json and ref_saved_{fam_name.lower()}.csv")
+
     if len(sys.argv) > 2 and sys.argv[1] == "--check-load":
-        ours = BinaryCarver.load(Path(sys.argv[2]))
-        theirs = out.drop(columns=["row"])
-        mine = ours.transform(X.copy())
+        # --check-load <path> [binary|ordinal|multiclass|continuous]
+        fam = sys.argv[3] if len(sys.argv) > 3 else "binary"
+        by_fam = {
+            "binary": (BinaryCarver, X, out),
+            "ordinal": (OrdinalCarver, Xf, fam_outs["OrdinalCarver"][1]),
+            "multiclass": (MulticlassCarver, Xf, fam_outs["MulticlassCarver"][1]),
+            "continuous": (ContinuousCarver, Xf, fam_outs["ContinuousCarver"][1]),
+        }
+        cls, Xc, ref_out = by_fam[fam]
+        ours = cls.load(Path(sys.argv[2]))
+        theirs = ref_out.drop(columns=["row"], errors="ignore")
+        mine = ours.transform(Xc.copy())
         same = (mine[theirs.columns].values == theirs.values).all()
-        print(f"reference loaded our JSON; transforms identical: {same}")
+        print(f"reference {fam} loaded our JSON; transforms identical: {same}")
         if not same:
             sys.exit(1)
 
