@@ -324,6 +324,57 @@ object SparkEntry {
       import s.implicits._
       m.rawToBucket.toSeq.sortBy(_._1).toDF("raw", "bucket")
     }),
+    "q_nested_walk" -> ((s, dir) => {
+      // X4 unseen remap through the fitted rollup: seen fine values map
+      // directly; planted unseen fine values walk the row's parent to the
+      // first surviving bucket, else __OTHER__; the oracle replays the
+      // Wilson rollup AND the walk in SQL
+      import graft.carve.Nested
+      val d = Tables.documents(s, dir)
+        .withColumn("fine", concat_ws("_", col("source"), col("lang")))
+        .withColumn("y", docLabel)
+      val m = Nested.fit(d, Seq("fine", "source"), minFreq = 0.04, target = Some("y"))
+      val base = Tables.documents(s, dir)
+      val planted = base.select(col("doc_id").as("id"),
+          concat_ws("_", col("source"), col("lang")).as("fine"), col("source"))
+        .unionByName(base.select((col("doc_id") + 100000L).as("id"),
+          concat(lit("zz_"), col("source")).as("fine"), col("source")))
+        .unionByName(base.select((col("doc_id") + 200000L).as("id"),
+          lit("zz_total").as("fine"), lit("nowhere").as("source")))
+      m.transform(planted).select(col("id"), col("fine").as("bucket"))
+    }),
+    "q_rate_strategies" -> ((s, dir) => {
+      // R2/R3 formula oracle: odds ratio and WOE recomputed from the SAME
+      // fitted binary model's per-bin (rate, n) — cross-engine math check
+      import graft.carve.Search
+      val m = carveDocs(s, dir)
+      import s.implicits._
+      m.kept.flatMap { f =>
+        f.rates.zipWithIndex.map { case (rr, i) =>
+          // both engines compute from the SAME 6-decimal rate (the fixture
+          // pins r6(reference rate) == r6(engine rate)); degenerate bins
+          // (rate 0 or 1) have no finite odds -> null on both sides
+          val r = r6(rr.rate)
+          if (r <= 0.0 || r >= 1.0)
+            (f.name, i.toLong, null.asInstanceOf[java.lang.Double], null.asInstanceOf[java.lang.Double])
+          else {
+            val x = Search.Xagg(Vector(f.binLabels(i)), Array(1.0 - r), Array(r))
+            (f.name, i.toLong,
+              java.lang.Double.valueOf(r6(Search.rates(x, "odds_ratio").head.rate)),
+              java.lang.Double.valueOf(r6(Search.rates(x, "woe").head.rate)))
+          }
+        }
+      }.toDF("feature", "bin", "odds_ratio", "woe")
+    }),
+    "q_outlier_gates" -> ((s, dir) => {
+      // F3 outlier gates: z-score (3 sigma, sample sd) and IQR (1.5x) rates
+      import graft.select.Selector
+      val rates = Selector.outlierRates(Tables.documents(s, dir), Seq("n_chars", "doc_id"))
+      import s.implicits._
+      rates.toSeq.sortBy(_._1).map { case (n, r) =>
+        (n, r6(r.zscoreRate), r6(r.iqrRate))
+      }.toDF("feature", "zscore_rate", "iqr_rate")
+    }),
     "q_select_kruskal" -> ((s, dir) => {
       // selector F2 Kruskal measures with a hard oracle
       val df = Tables.documents(s, dir).withColumn("y", docLabel)
@@ -397,6 +448,14 @@ object SparkEntry {
 
   /** deterministic binary label over documents for the carver queries */
   private def docLabel = when(col("n_chars") > 300, lit(1)).otherwise(lit(0))
+
+  /** Round to 6 decimals (HALF_EVEN); non-finite values pass through
+    * (BigDecimal(Inf) throws).
+    */
+  private def r6(x: Double): Double =
+    if (java.lang.Double.isFinite(x))
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    else x
 
   /** Bin labels in order-insensitive form for the fixture oracle compare:
     * categorical member lists are sorted (the engine orders members by
@@ -663,6 +722,55 @@ object SparkEntry {
                 round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
          FROM a x JOIN a y ON x.vec_id < y.vec_id
          WHERE list_cosine_similarity(x.v, y.v) >= 0.98""",
+    "q_nested_walk" ->
+      s"""WITH d AS (
+           SELECT source || '_' || lang AS fine, source FROM documents
+         ),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+         fc AS (SELECT fine, source, CAST(count(*) AS DOUBLE) AS cnt FROM d GROUP BY 1, 2),
+         b1 AS (
+           SELECT fine, CASE WHEN ${wilsonUpperSql("cnt", "tot.n")} < 0.04 THEN source ELSE fine END AS b, cnt
+           FROM fc, tot
+         ),
+         bc AS (SELECT b, sum(cnt) AS bcnt FROM b1 GROUP BY b),
+         b2 AS (
+           SELECT bc.b, CASE WHEN ${wilsonUpperSql("bc.bcnt", "tot.n")} < 0.04 THEN '__OTHER__' ELSE bc.b END AS fb
+           FROM bc, tot
+         ),
+         map AS (SELECT b1.fine AS raw, b2.fb AS bucket FROM b1 JOIN b2 ON b1.b = b2.b),
+         leaders AS (SELECT DISTINCT fb FROM b2 WHERE fb <> '__OTHER__'),
+         planted AS (
+           SELECT doc_id AS id, source || '_' || lang AS fine, source FROM documents
+           UNION ALL
+           SELECT doc_id + 100000, 'zz_' || source, source FROM documents
+           UNION ALL
+           SELECT doc_id + 200000, 'zz_total', 'nowhere' FROM documents
+         )
+         SELECT p.id, coalesce(m.bucket,
+           CASE WHEN p.source IN (SELECT fb FROM leaders) THEN p.source ELSE '__OTHER__' END) AS bucket
+         FROM planted p LEFT JOIN map m ON p.fine = m.raw""",
+    "q_rate_strategies" ->
+      s"""WITH fit AS (${carveOracleSql("q_carve_fit")})
+         SELECT feature, bin,
+                CASE WHEN rate <= 0 OR rate >= 1 THEN NULL ELSE round(rate / (1 - rate), 6) END AS odds_ratio,
+                CASE WHEN rate <= 0 OR rate >= 1 THEN NULL ELSE round(ln(rate / (1 - rate)), 6) END AS woe
+         FROM fit""",
+    "q_outlier_gates" ->
+      """WITH s AS (
+           SELECT avg(CAST(n_chars AS DOUBLE)) AS m_nc, stddev_samp(CAST(n_chars AS DOUBLE)) AS sd_nc,
+                  quantile_disc(CAST(n_chars AS DOUBLE), 0.25) AS q1_nc, quantile_disc(CAST(n_chars AS DOUBLE), 0.75) AS q3_nc,
+                  avg(CAST(doc_id AS DOUBLE)) AS m_id, stddev_samp(CAST(doc_id AS DOUBLE)) AS sd_id,
+                  quantile_disc(CAST(doc_id AS DOUBLE), 0.25) AS q1_id, quantile_disc(CAST(doc_id AS DOUBLE), 0.75) AS q3_id
+           FROM documents)
+         SELECT 'doc_id' AS feature,
+           round(avg(CASE WHEN d.doc_id < s.m_id - 3*s.sd_id OR d.doc_id > s.m_id + 3*s.sd_id THEN 1.0 ELSE 0.0 END), 6) AS zscore_rate,
+           round(avg(CASE WHEN d.doc_id < s.q1_id - 1.5*(s.q3_id - s.q1_id) OR d.doc_id > s.q3_id + 1.5*(s.q3_id - s.q1_id) THEN 1.0 ELSE 0.0 END), 6) AS iqr_rate
+         FROM documents d, s
+         UNION ALL
+         SELECT 'n_chars' AS feature,
+           round(avg(CASE WHEN d.n_chars < s.m_nc - 3*s.sd_nc OR d.n_chars > s.m_nc + 3*s.sd_nc THEN 1.0 ELSE 0.0 END), 6),
+           round(avg(CASE WHEN d.n_chars < s.q1_nc - 1.5*(s.q3_nc - s.q1_nc) OR d.n_chars > s.q3_nc + 1.5*(s.q3_nc - s.q1_nc) THEN 1.0 ELSE 0.0 END), 6)
+         FROM documents d, s""",
     "q_select_kruskal" ->
       """WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS v, CAST(doc_id AS DOUBLE) AS v2,
                     CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y FROM documents),

@@ -116,6 +116,40 @@ object Dedup {
     df.withColumn("minhash", f(col(textCol)))
   }
 
+  /** Durable signature checkpoint for the 100 TB path: at 10^11 docs the
+    * 64-long signature frame is ~50 TB — `persist(MEMORY_AND_DISK)` puts
+    * that in executor-local block-manager storage (lost with the executor,
+    * re-shingled on failure). This writes `(id, minhash)` to a parquet
+    * TABLE once, tagged with a config hash; any later run with the same
+    * (numHashes, shingleK, seed) resumes from the table without touching
+    * the text again. Returns the checkpointed `(id, minhash)` frame.
+    */
+  def minhashCheckpointed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      table: String,
+      numHashes: Int = 64,
+      shingleK: Int = 5,
+      seed: Long = 42L
+  ): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val spark = df.sparkSession
+    val hash = graft.tables.IcebergLite.configHash(s"minhash:v1:$numHashes:$shingleK:$seed")
+    val dir = Paths.get(table)
+    val marker = dir.resolve("_SIG_CONFIG")
+    val dataPath = s"$table/data"
+    val fresh = Files.exists(marker) && Files.readString(marker).trim == hash
+    if (!fresh) {
+      withMinhash(df, textCol, numHashes, shingleK, seed)
+        .select(col(idCol).as("id"), col("minhash"))
+        .write.mode("overwrite").parquet(dataPath)
+      Files.createDirectories(dir)
+      Files.writeString(marker, hash)
+    }
+    spark.read.parquet(dataPath)
+  }
+
   /** LSH candidate pairs: band the signature, bucket within bands, emit
     * unordered id pairs (a < b) with the estimated Jaccard from full
     * signature agreement. `maxBucket` caps pathological buckets.
@@ -135,13 +169,22 @@ object Dedup {
       bands: Int = 16,
       shingleK: Int = 5,
       seed: Long = 42L,
-      maxBucket: Int = 1000
+      maxBucket: Int = 1000,
+      // optional durable signature table ([[minhashCheckpointed]]): at
+      // corpus scale prefer it over executor-local persist — survives
+      // executor loss and lets a killed dedup run resume without
+      // re-shingling the corpus
+      sigCheckpoint: Option[String] = None
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
-    val sigs = withMinhash(df, textCol, numHashes, shingleK, seed)
-      .select(col(idCol).as("id"), col("minhash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigCheckpoint match {
+      case Some(table) => minhashCheckpointed(df, idCol, textCol, table, numHashes, shingleK, seed)
+      case None =>
+        withMinhash(df, textCol, numHashes, shingleK, seed)
+          .select(col(idCol).as("id"), col("minhash"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
     // Empty-shingle docs (normalized text shorter than shingleK) all share
     // the degenerate all-Long.MaxValue signature, hence identical keys in

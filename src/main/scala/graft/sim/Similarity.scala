@@ -132,7 +132,11 @@ object Similarity {
       bands: Int = 16,
       bitsPerBand: Int = 8,
       maxBucket: Int = 1000,
-      seed: Long = 42L
+      seed: Long = 42L,
+      // optional durable (id, vec) table: at corpus scale prefer it over
+      // executor-local persist — survives executor loss, and a killed run
+      // resumes without re-reading/re-casting the source embeddings
+      vecCheckpoint: Option[String] = None
   ): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val allPlanes = hyperplanes(bands * bitsPerBand, dim, seed)
@@ -152,8 +156,24 @@ object Similarity {
         key
       }
     }
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = vecCheckpoint match {
+      case Some(table) =>
+        import java.nio.file.{Files, Paths}
+        val spark = df.sparkSession
+        val hash = graft.tables.IcebergLite.configHash("embvecs:v1")
+        val marker = Paths.get(table).resolve("_VEC_CONFIG")
+        val dataPath = s"$table/data"
+        if (!(Files.exists(marker) && Files.readString(marker).trim == hash)) {
+          df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+            .write.mode("overwrite").parquet(dataPath)
+          Files.createDirectories(Paths.get(table))
+          Files.writeString(marker, hash)
+        }
+        spark.read.parquet(dataPath)
+      case None =>
+        df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
     val banded = vecs
       .select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("band", "key")))
     // cap membership BEFORE aggregation: the row_number window spills per

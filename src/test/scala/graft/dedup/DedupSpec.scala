@@ -137,6 +137,27 @@ class DedupSpec extends SparkSuite {
     assert(m == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
   }
 
+  test("minhash signature checkpoint: a rerun resumes without re-shingling") {
+    val table = java.nio.file.Files.createTempDirectory("graft_sigs").toString
+    val a = Dedup.minhashCheckpointed(docs, "id", "text", table)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    // second run over a POISONED frame (every text changed): identical
+    // signatures come back, proving the run read the durable table and
+    // never touched the text again
+    val poisoned = docs.withColumn("text", concat(col("text"), lit(" POISON")))
+    val b = Dedup.minhashCheckpointed(poisoned, "id", "text", table)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(a == b)
+    assert(a.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // a different signature CONFIG invalidates the checkpoint and recomputes
+    val c = Dedup.minhashCheckpointed(poisoned, "id", "text", table, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    assert(c != a)
+    // and the candidate-pair path accepts the checkpoint in place of persist
+    val pairs = Dedup.minhashCandidatePairs(docs, "id", "text", sigCheckpoint = Some(table))
+    assert(pairs.count() >= 0)
+  }
+
   test("nearDupComponents: planted truncated dups land in their original's component") {
     import spark.implicits._
     val docs = (0 until 40).map { i =>
