@@ -24,7 +24,7 @@ import graft.tables.IcebergLite
   *
   * Budget discipline (round-2 postmortem: a bench that overruns the
   * driver's wall budget records NOTHING): `SPARK_GRAFT_BENCH_BUDGET_SEC`
-  * (default 420 from main() entry) gates every optional unit of work —
+  * (default 405 from main() entry) gates every optional unit of work —
   * later scaling rounds are skipped when the remaining budget can't fit a
   * round, and the query loop stops early rather than die silent.
   */
@@ -133,7 +133,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val t0 = System.nanoTime()
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "420").toDouble
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "405").toDouble
     def remaining: Double = budgetSec - (System.nanoTime() - t0) / 1e9
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -201,7 +201,7 @@ object Bench {
       // pair outranks any later optional work (a reserved-budget guard here
       // once starved the retake and shipped a 0.79 artifact)
       if (bestEff < 0.85 && retakeRemaining > 120.0) {
-        cooldown(20, retakeRemaining, 70.0)
+        cooldown(12, retakeRemaining, 70.0)
         retake4n = runForked(n4, table, warmTable)
         val (a0, b0) = samples.last
         samples(samples.length - 1) = (a0, math.min(b0, retake4n))
@@ -256,7 +256,7 @@ object Bench {
           .getOrElse(throw new RuntimeException("no primary scaling round fit the budget"))
         val secondary = pair2.flatMap { case (a, b) =>
           if (remaining > 140.0)
-            measurePair(a, b, 1, 15, 10, table, warmTable, totalRows,
+            measurePair(a, b, 1, 12, 10, table, warmTable, totalRows,
               remaining, retakeRemaining = 0.0) // no retake on the secondary
           else None
         }
@@ -289,8 +289,11 @@ object Bench {
       else {
         val spark0 = session(math.min(cpus, 8))
         val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
-        try SparkEntry.queries.foreach { case (name, fn) =>
-          if (remaining > 30.0) {
+        // near-deterministic order + a floor sized to the real per-query
+        // cost (almost all <5 s): a 30 s floor once cut 6 queries from the
+        // artifact while 25 s of budget sat unused
+        try SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+          if (remaining > 15.0) {
             val q0 = System.nanoTime()
             try { fn(spark0, sfDir).count() } catch { case _: Throwable => () }
             acc(name) = (System.nanoTime() - q0) / 1e9

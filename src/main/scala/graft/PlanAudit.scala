@@ -33,6 +33,20 @@ object PlanAudit {
     }
     show("carve transform (pure projection)",
       m.transform(graft.tables.Tables.documents(spark, sfDir)))
+    // nested transform: direct probe + X4 parent walk must stay a pure
+    // projection (compiled hash probes, no shuffle, one codegen span)
+    val nm = {
+      import graft.carve.BinaryCarver
+      val df = graft.tables.Tables.documents(spark, sfDir)
+        .withColumn("fine", concat_ws("_", col("source"), col("lang")))
+        .withColumn("y", when(col("n_chars") > 300, lit(1)).otherwise(lit(0)))
+      BinaryCarver.fit(df, "y",
+        Seq(BinaryCarver.FeatureSpec("fine", "nested", parents = Seq("source"))),
+        config = BinaryCarver.Config(minFreq = 0.04))
+    }
+    show("nested transform (direct probe + parent walk, pure projection)",
+      nm.transform(graft.tables.Tables.documents(spark, sfDir)
+        .withColumn("fine", concat_ws("_", col("source"), col("lang")))))
     spark.stop()
   }
 }

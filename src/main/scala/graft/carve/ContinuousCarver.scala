@@ -26,8 +26,6 @@ object ContinuousCarver {
       config: Config = Config(sortBy = "kruskal")
   ): Model = {
     BinaryCarver.validateInputs(train, target, specs)
-    require(!specs.exists(_.kind == "nested"),
-      "nested features are currently supported by BinaryCarver only")
     val halfMinFreq = config.minFreq / 2.0
     val q = math.rint(1.0 / halfMinFreq).toInt
 
@@ -44,6 +42,10 @@ object ContinuousCarver {
           BinaryCarver.prepQuantitative(trainHist(s.name), totalOf(s.name), q, halfMinFreq, config)
         case "ordinal" =>
           BinaryCarver.prepOrdinal(trainHist(s.name), totalOf(s.name), s.ordinalOrder, halfMinFreq, config)
+        case "nested" =>
+          // same rollup semantics as the binary integration: the target-rate
+          // sort is mean(y) per bucket, which HistRow's sumY already carries
+          BinaryCarver.prepNested(s, trainHist(s.name), totalOf(s.name), halfMinFreq, config)
         case _ =>
           BinaryCarver.prepCategorical(trainHist(s.name), totalOf(s.name), halfMinFreq, config)
       })
@@ -128,6 +130,20 @@ object ContinuousCarver {
       val idx = graft.transform.BinarySearchBucketize.column(x, p.prebinEdges, mapping, nanBin = -1)
       when(x.isNull || isnan(x), lit(NanLabel))
         .otherwise(element_at(typedlit(leaders), idx + 1))
+    } else if (spec.kind == "nested") {
+      // rolled-up bucket label: direct finest map, else the X4 parent walk
+      // (needed on the DEV frame, which may carry unseen finest values)
+      val c = BinaryCarver.categoricalStringExpr(col(spec.name))
+      val direct =
+        if (p.valueToRaw.isEmpty) lit(null).cast("string")
+        else element_at(typedlit(p.valueToRaw), c)
+      val leaders = p.rawOrder.filterNot(_ == OtherLabel)
+      val parentHits = spec.parents.map { pc =>
+        val pv = BinaryCarver.categoricalStringExpr(col(pc))
+        when(pv.isInCollection(leaders), pv)
+      }
+      when(c.isNull, lit(NanLabel))
+        .otherwise(coalesce(direct +: parentHits :+ lit(OtherLabel): _*))
     } else {
       val c = BinaryCarver.categoricalStringExpr(col(spec.name))
       val mapped =
@@ -318,9 +334,15 @@ object ContinuousCarver {
           val otherBin = labelToBin.getOrElse(OtherLabel, -1)
           val binLabels = combination.map(g =>
             g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
+          val leaderToBin =
+            if (p.kind == "nested")
+              labelToBin.filterNot { case (l, _) => l == NanLabel || l == OtherLabel }
+            else Map.empty[String, Int]
           FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
             nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, h, Double.NaN,
             rates, dropped = false, droppedReason = "", stds = stds,
+            parents = if (p.kind == "nested") spec.parents.toVector else Vector.empty,
+            leaderToBin = leaderToBin,
             history = if (histBuf == null) Vector.empty else histBuf.toVector)
         }
     }

@@ -73,15 +73,7 @@ object OrdinalCarver {
   def histogramK(df: DataFrame, target: String, specs: Seq[FeatureSpec],
       sketched: Map[String, Vector[Double]] = Map.empty): Map[String, Array[KHistRow]] = {
     val y = col(target).cast("double")
-    val entries = specs.map { s =>
-      if (s.kind == "quantitative")
-        struct(lit(s.name).as("fid"), BinaryCarver.quantValueExpr(s.name, sketched).as("dv"),
-          lit(null).cast("string").as("sv"))
-      else
-        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
-          BinaryCarver.categoricalStringExpr(col(s.name)).as("sv"))
-    }
-    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"))
+    val long = df.select(explode(array(BinaryCarver.histEntries(specs, sketched): _*)).as("e"), y.as("__y"))
     val agg = long
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"), col("__y"))
       .agg(count(lit(1)).as("cnt"))
@@ -109,15 +101,7 @@ object OrdinalCarver {
       sketched: Map[String, Vector[Double]] = Map.empty)
       : (Map[String, Array[KHistRow]], Seq[Map[String, Array[KHistRow]]]) = {
     val y = col(target).cast("double")
-    val entries = specs.map { s =>
-      if (s.kind == "quantitative")
-        struct(lit(s.name).as("fid"), BinaryCarver.quantValueExpr(s.name, sketched).as("dv"),
-          lit(null).cast("string").as("sv"))
-      else
-        struct(lit(s.name).as("fid"), lit(null).cast("double").as("dv"),
-          BinaryCarver.categoricalStringExpr(col(s.name)).as("sv"))
-    }
-    val long = df.select(explode(array(entries: _*)).as("e"), y.as("__y"),
+    val long = df.select(explode(array(BinaryCarver.histEntries(specs, sketched): _*)).as("e"), y.as("__y"),
       BinaryCarver.foldKeyExpr(specs, target, cv).as("__fold"))
     val agg = long
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"),

@@ -145,6 +145,27 @@ class NestedSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("nested kind works in the continuous carver (same rollup, mean-y sort)") {
+    // continuous target whose mean varies by city bucket + in-bucket noise
+    val dfc = df.withColumn("yc",
+      col("y").cast("double") * 10.0 + (col("id") % 7).cast("double"))
+    val m = ContinuousCarver.fit(dfc, "yc", Seq(nestedSpec),
+      config = BinaryCarver.Config(minFreq = 0.1, sortBy = "kruskal"))
+    val f = m.kept.find(_.name == "city").get
+    assert(f.kind == "nested" && f.parents == Vector("region", "country"))
+    assert(f.valueToBin("nice") == f.valueToBin("cannes"))
+    // equivalence with the pre-rolled categorical continuous carve
+    val pre = Nested.fit(dfc, Seq("city", "region", "country"), minFreq = 0.05, target = Some("yc"))
+    val carved = ContinuousCarver.fit(pre.transform(dfc), "yc",
+      Seq(BinaryCarver.FeatureSpec("city", "categorical")),
+      config = BinaryCarver.Config(minFreq = 0.1, sortBy = "kruskal"))
+    val a = m.transform(dfc).select(col("id"), col("city")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b = carved.transform(pre.transform(dfc)).select(col("id"), col("city")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(a == b)
+  }
+
   test("nested kind validation: missing parents or self-parent raises") {
     intercept[IllegalArgumentException] {
       BinaryCarver.fit(df, "y", Seq(BinaryCarver.FeatureSpec("city", "nested")))
