@@ -141,7 +141,9 @@ object MulticlassCarver {
   ): Model = {
     BinaryCarver.validateInputs(train, target, specs)
     require(!specs.exists(_.kind == "nested"),
-      "nested features are currently supported by BinaryCarver only")
+      "nested features are not supported against an unordered multiclass target — the " +
+        "reference's NestedDiscretizer target sort cannot score string classes " +
+        "(series_target_rate crashes there); use Binary/Continuous/Ordinal carvers")
     val sketched = BinaryCarver.sketchHighCardinality(train, specs,
       BinaryCarver.Config(minFreq = config.minFreq,
         sketchCardinalityThreshold = config.sketchCardinalityThreshold,
@@ -482,7 +484,9 @@ object OneVsRestCarver {
   ): Model = {
     BinaryCarver.validateInputs(train, target, specs)
     require(!specs.exists(_.kind == "nested"),
-      "nested features are currently supported by BinaryCarver only")
+      "nested features are not supported against an unordered multiclass target — the " +
+        "reference's NestedDiscretizer target sort cannot score string classes " +
+        "(series_target_rate crashes there); use Binary/Continuous/Ordinal carvers")
     val sketched = BinaryCarver.sketchHighCardinality(train, specs, config)
     // the class-histogram scan also yields the class set: no distinct() pass.
     // cv>1 folds share the same scan (fold key = one more groupBy column);

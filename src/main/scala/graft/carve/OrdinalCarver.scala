@@ -142,8 +142,6 @@ object OrdinalCarver {
       config: Config = Config()
   ): Model = {
     BinaryCarver.validateInputs(train, target, specs)
-    require(!specs.exists(_.kind == "nested"),
-      "nested features are currently supported by BinaryCarver only")
     val sketched = BinaryCarver.sketchHighCardinality(train, specs,
       BinaryCarver.Config(minFreq = config.minFreq,
         sketchCardinalityThreshold = config.sketchCardinalityThreshold,
@@ -200,6 +198,8 @@ object OrdinalCarver {
         case "ordinal" =>
           prepOrdinalK(trainHist(s.name), totalOf(s.name), levels, s.ordinalOrder,
             yLevelScores, halfMinFreq, config)
+        case "nested" =>
+          prepNestedK(s, trainHist(s.name), totalOf(s.name), levels, yLevelScores, halfMinFreq, config)
         case _ =>
           prepCategoricalK(trainHist(s.name), totalOf(s.name), levels, yLevelScores, halfMinFreq, config)
       })
@@ -391,6 +391,55 @@ object OrdinalCarver {
       Ordinal.KXagg(xLabels, levels, m), hasNan, hasDefault)
   }
 
+  /** Nested prep against a K-level ordinal target (reference
+    * QualitativeDiscretizer runs nested FIRST inside fit; the
+    * NestedDiscretizer target sort maps y through the carver-resolved
+    * y_level_scores — train ridits by default — then sorts buckets by mean
+    * scored-y, `nested_discretizer.py:233-242`). The rollup rides the same
+    * one-pass K-histogram via the encoded sv tuples. NOTE: the reference's
+    * MulticlassCarver crashes on nested features (series_target_rate
+    * aggregates a string y with mean) — ordinal targets are the only
+    * K-target family nested features actually work with, and the engine
+    * matches that surface.
+    */
+  private[carve] def prepNestedK(
+      spec: FeatureSpec, hist: Array[KHistRow], total: Long, levels: Vector[Double],
+      yLevelScores: Map[Double, Double], halfMinFreq: Double, config: Config
+  ): KPrep = {
+    val levelIdx = levels.zipWithIndex.toMap
+    val columns = spec.name +: spec.parents
+    val nonNull = hist.filterNot(_.isNull)
+    val nanRows = hist.filter(_.isNull)
+    // sy = scored-y sum so the rollup's target sort matches
+    // series_target_rate over y_level_scores-mapped y
+    val tuples = nonNull.toSeq.map(r =>
+      Nested.Tup(BinaryCarver.decodeNestedSv(r.sv, columns.length), r.count,
+        r.count * yLevelScores(r.level)))
+    val res = Nested.rollupCore(columns, tuples, total, halfMinFreq, config.minFreqAlpha,
+      sortByTarget = true)
+    val order = res.order
+    val mats = mutable.LinkedHashMap.empty[String, Array[Double]]
+    order.foreach(b => mats(b) = new Array[Double](levels.length))
+    nonNull.foreach { r =>
+      val finest = BinaryCarver.decodeNestedSv(r.sv, columns.length).head
+      mats(res.rawToBucket(finest))(levelIdx(r.level)) += r.count
+    }
+    val hasNan = nanRows.nonEmpty
+    val nanRow = {
+      val row = new Array[Double](levels.length)
+      nanRows.foreach(r => row(levelIdx(r.level)) += r.count)
+      row
+    }
+    val xLabels = if (hasNan) order :+ NanLabel else order
+    val m = (order.map(mats(_)) ++ (if (hasNan) Vector(nanRow) else Vector.empty)).toArray
+    val members = order.map { b =>
+      val children = res.rawToBucket.collect { case (v, bb) if bb == b && v != b => v }.toVector.sorted
+      b -> (b +: children)
+    }.toMap
+    KPrep("nested", Vector.empty, Vector.empty, res.rawToBucket, order,
+      Ordinal.KXagg(xLabels, levels, m), hasNan, hasDefault = true, members = members)
+  }
+
   /** Dev histogram → KXagg in the train feature's label space. */
   private[carve] def devKXaggOf(
       spec: FeatureSpec, p: KPrep, hist: Array[KHistRow], levels: Vector[Double]
@@ -402,6 +451,18 @@ object OrdinalCarver {
       val label =
         if (r.isNull) NanLabel
         else if (spec.kind == "quantitative") p.prebinLeader(BinaryCarver.searchsortedLeft(p.prebinEdges, r.dv))
+        else if (spec.kind == "nested") {
+          // X4 on the validation view: unseen finest walks the tuple's
+          // parent values to the first surviving bucket
+          val lv = BinaryCarver.decodeNestedSv(r.sv, spec.parents.length + 1)
+          p.valueToRaw.get(lv.head) match {
+            case Some(lbl) => lbl
+            case None =>
+              val buckets = p.rawOrder.toSet
+              lv.tail.find(v => v != null && buckets.contains(v))
+                .getOrElse(if (buckets.contains(OtherLabel)) OtherLabel else null)
+          }
+        }
         else p.valueToRaw.getOrElse(r.sv, if (p.hasDefault) OtherLabel else null)
       if (label != null) {
         levelIdx.get(r.level).foreach { j =>
@@ -455,9 +516,15 @@ object OrdinalCarver {
             val otherBin = labelToBin.getOrElse(OtherLabel, -1)
             val binLabels = b.combination.map(g =>
               g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
+            val leaderToBin =
+              if (p.kind == "nested")
+                labelToBin.filterNot { case (l, _) => l == NanLabel || l == OtherLabel }
+              else Map.empty[String, Int]
             FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
               nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, Double.NaN, Double.NaN,
               b.rates, dropped = false, droppedReason = "",
+              parents = if (p.kind == "nested") spec.parents.toVector else Vector.empty,
+              leaderToBin = leaderToBin,
               history = if (histBuf == null) Vector.empty else histBuf.toVector)
           }
         OFitted(f, b.metrics.tauB, b.metrics.tauC, b.metrics.somersd, rate0.fitReference(p.xagg))

@@ -166,6 +166,49 @@ class NestedSpec extends SparkSuite {
     assert(a == b)
   }
 
+  test("nested kind in the ordinal carver matches the reference (pinned by executing it)") {
+    // reference OrdinalCarver(nested={"city": ["region"]}, min_freq=0.1,
+    // max_n_mod=4) on this exact deterministic fixture fits bins
+    // {paris} / {lyon, berlin, paca(nice+cannes), __OTHER__(tinytown)} with
+    // mean train-ridits 0.385284 / 0.593859 and counts 1800 / 2200
+    val rows = (0 until 4000).map { i =>
+      val m = i % 100
+      val (city, region) =
+        if (m < 45) ("paris", "idf")
+        else if (m < 85) ("lyon", "aura")
+        else if (m < 93) ("berlin", "be")
+        else if (m < 96) ("nice", "paca")
+        else if (m < 98) ("cannes", "paca")
+        else ("tinytown", "tinyreg")
+      val h = (i * 2654435761L) % 97
+      val base = Map("paris" -> 10, "lyon" -> 40, "berlin" -> 60, "nice" -> 75,
+        "cannes" -> 80, "tinytown" -> 90)(city)
+      val y = 1 + (if (h < base) 1 else 0) + (if (h < base - 30) 1 else 0)
+      (i.toLong, city, region, y)
+    }.toDF("id", "city", "region", "y")
+    val m = OrdinalCarver.fit(rows, "y",
+      Seq(BinaryCarver.FeatureSpec("city", "nested", parents = Seq("region"))),
+      config = OrdinalCarver.Config(minFreq = 0.1, maxNMod = 4))
+    val f = m.kept.find(_.feature.name == "city").get.feature
+    assert(f.kind == "nested" && f.nBins == 2)
+    assert(f.valueToBin("paris") == 0)
+    Seq("lyon", "berlin", "nice", "cannes", "tinytown").foreach(v =>
+      assert(f.valueToBin(v) == 1, s"$v -> ${f.valueToBin(v)}"))
+    assert(math.abs(f.rates(0).rate - 0.385284) < 1e-6, f.rates(0).rate.toString)
+    assert(math.abs(f.rates(1).rate - 0.593859) < 1e-6, f.rates(1).rate.toString)
+    assert(f.rates.map(_.count.toLong) == Vector(1800L, 2200L))
+    // transform: same 1800/2200 split; X4 walk live for unseen cities
+    val counts = m.transform(rows).groupBy("city").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(0 -> 1800L, 1 -> 2200L))
+    val unseen = Seq((1L, "antibes", "paca"), (2L, "nowhereville", "zz"))
+      .toDF("id", "city", "region")
+    val got = m.transform(unseen).select("id", "city").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) == f.leaderToBin.getOrElse("paca", f.valueToBin("nice")))
+    assert(got(2L) == f.otherBin || got(2L) == 1)
+  }
+
   test("nested kind validation: missing parents or self-parent raises") {
     intercept[IllegalArgumentException] {
       BinaryCarver.fit(df, "y", Seq(BinaryCarver.FeatureSpec("city", "nested")))
