@@ -375,6 +375,24 @@ object SparkEntry {
         (n, r6(r.zscoreRate), r6(r.iqrRate))
       }.toDF("feature", "zscore_rate", "iqr_rate")
     }),
+    // ------------------------------------------------- sampling / packing
+    "q_hash_split" -> ((s, dir) =>
+      graft.sample.Sampling.hashSplit(Tables.documents(s, dir), "doc_id", 0.2)
+        .select(col("doc_id"), col("split"))),
+    "q_group_split" -> ((s, dir) => {
+      // leakage-safe: every row of a source lands in ONE side
+      graft.sample.Sampling.groupSplit(Tables.documents(s, dir), "source", 0.3)
+        .select(col("doc_id"), col("source"), col("split"))
+    }),
+    "q_stratified_sample" -> ((s, dir) =>
+      graft.sample.Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.25), defaultFrac = 0.1)
+        .select(col("doc_id"), col("lang"))),
+    "q_pack_sequences" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"))
+      graft.text.Packing.packSequences(docs, "doc_id", "n_tokens", budget = 200L, blockSize = 100L)
+    }),
     "q_select_kruskal" -> ((s, dir) => {
       // selector F2 Kruskal measures with a hard oracle
       val df = Tables.documents(s, dir).withColumn("y", docLabel)
@@ -502,6 +520,13 @@ object SparkEntry {
   private val FnvOfs = "14695981039346656037::HUGEINT"
   private def signed64(x: String): String =
     s"(CASE WHEN ($x) >= 9223372036854775808::HUGEINT THEN ($x) - $M64 ELSE ($x) END)::BIGINT"
+  /** [[graft.sample.Sampling.hashUnit]] replayed in SQL: signed FNV of
+    * "key:seed", non-negative mod 1e6, over 1e6 (Spark's pmod semantics).
+    */
+  private def hashUnitSql(key: String, seed: Long = 42L): String = {
+    val h = fnvSql(s"(($key) || ':$seed')")
+    s"(((((${signed64(h)}) % 1000000) + 1000000) % 1000000) / 1e6)"
+  }
   /** FNV-1a over the code points of a string expression, as a HUGEINT in [0, 2^64). */
   private def fnvSql(str: String): String =
     s"""list_reduce(list_prepend($FnvOfs, list_transform(range(1, length($str)+1),
@@ -722,6 +747,37 @@ object SparkEntry {
                 round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
          FROM a x JOIN a y ON x.vec_id < y.vec_id
          WHERE list_cosine_similarity(x.v, y.v) >= 0.98""",
+    "q_hash_split" ->
+      s"""SELECT doc_id,
+         CASE WHEN ${hashUnitSql("doc_id::VARCHAR")} < 0.2 THEN 'test' ELSE 'train' END AS split
+         FROM documents""",
+    "q_group_split" ->
+      s"""SELECT doc_id, source,
+         CASE WHEN ${hashUnitSql("source")} < 0.3 THEN 'test' ELSE 'train' END AS split
+         FROM documents""",
+    "q_stratified_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         WHERE ${hashUnitSql("doc_id::VARCHAR")} <
+           CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""",
+    "q_pack_sequences" ->
+      """WITH RECURSIVE toks AS (
+           SELECT doc_id AS id, doc_id // 100 AS block,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS BIGINT) AS tok
+           FROM documents
+         ),
+         ord AS (SELECT *, row_number() OVER (PARTITION BY block ORDER BY id) AS rn FROM toks),
+         rec(block, id, rn, tok, seq, used, pos) AS (
+           SELECT block, id, rn, tok, CAST(0 AS BIGINT), tok, CAST(0 AS BIGINT)
+           FROM ord WHERE rn = 1
+           UNION ALL
+           SELECT o.block, o.id, o.rn, o.tok,
+             CASE WHEN r.used > 0 AND r.used + o.tok > 200 THEN r.seq + 1 ELSE r.seq END,
+             CASE WHEN r.used > 0 AND r.used + o.tok > 200 THEN o.tok ELSE r.used + o.tok END,
+             CASE WHEN r.used > 0 AND r.used + o.tok > 200 THEN CAST(0 AS BIGINT) ELSE r.pos + 1 END
+           FROM rec r JOIN ord o ON o.block = r.block AND o.rn = r.rn + 1
+         )
+         SELECT id, block, seq, pos, tok AS tokens FROM rec""",
     "q_nested_walk" ->
       s"""WITH d AS (
            SELECT source || '_' || lang AS fine, source FROM documents

@@ -32,6 +32,30 @@ case class Fnv1aFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Raw FNV-1a over a string's code points — NO lowercase/trim
+  * normalization. The portable hash for sampling/split keys
+  * ([[graft.sample.Sampling]]): the correctness oracle replays it in plain
+  * SQL, unlike xxhash64. Codegen'd; null in, null out.
+  */
+case class Fnv1aRaw(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "fnv1a_raw"
+
+  override protected def nullSafeEval(input: Any): Any =
+    graft.dedup.Dedup.fnv1a(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.dedup.Dedup.fnv1a($c.toString())")
+
+  override protected def withNewChildInternal(newChild: Expression): Fnv1aRaw =
+    copy(child = newChild)
+}
+
+object Fnv1aRaw {
+  def column(c: Column): Column =
+    ColumnBridge.column(Fnv1aRaw(ColumnBridge.expression(c)))
+}
+
 object Fnv1aFingerprint {
   /** Runtime kernel (shared by interpreted eval and generated code).
     * Locale.ROOT lowercasing: deterministic across JVM default locales
