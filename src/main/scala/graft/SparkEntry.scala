@@ -895,9 +895,10 @@ object SparkEntry {
          SELECT id AS doc_id, simhash FROM sig""",
     "q_simhash_pairs" ->
       s"""$dupDocsSql,
-         $simhashSql
+         $simhashSql,
+         ne AS (SELECT s.id, s.simhash FROM sig s JOIN docs d ON d.id = s.id WHERE length(d.t) > 0)
          SELECT a.id AS id_a, b.id AS id_b, CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         FROM sig a JOIN sig b ON a.id < b.id
+         FROM ne a JOIN ne b ON a.id < b.id
          WHERE bit_count(xor(a.simhash, b.simhash)) <= 7""",
     "q_dedup_minhash" ->
       s"""$minhashCandSql,

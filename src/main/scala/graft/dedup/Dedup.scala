@@ -270,25 +270,39 @@ object Dedup {
   /** SimHash near-dup candidates at Hamming distance <= maxHamming, found
     * by banding the 64-bit hash into (maxHamming+1) chunks (pigeonhole: any
     * pair within the bound agrees on at least one chunk exactly).
+    *
+    * Scale guards (same degenerate-bucket story as the MinHash path):
+    * blank-text docs all share simhash 0 — identical band keys in EVERY
+    * chunk — so they are quarantined out of banding (identical empty texts
+    * belong to the exact-dedup path); and band-bucket membership is capped
+    * at `maxBucket` with a spillable row_number window BEFORE the
+    * self-join, bounding the quadratic pair fan-out on boilerplate-heavy
+    * buckets.
     */
   def simhashCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000
   ): DataFrame = {
     val chunks = maxHamming + 1
     val width = 64 / chunks
-    val sigDf = withSimhash(df, textCol).select(col(idCol).as("id"), col("simhash"))
+    val sigDf = withSimhash(df.filter(coalesce(length(trim(col(textCol))), lit(0)) > 0), textCol)
+      .select(col(idCol).as("id"), col("simhash"))
     val bandStructs = (0 until chunks).map { c =>
       struct(
         lit(c).as("band_idx"),
         shiftrightunsigned(col("simhash"), c * width).bitwiseAND(lit((1L << width) - 1)).as("band_key")
       )
     }
+    val wBucket = Window.partitionBy(col("band_idx"), col("band_key")).orderBy(col("id").asc)
     val banded = sigDf
       .withColumn("band", explode(array(bandStructs: _*)))
       .select(col("id"), col("simhash"), col("band.band_idx"), col("band.band_key"))
+      .withColumn("__rn", row_number().over(wBucket))
+      .filter(col("__rn") <= maxBucket)
+      .drop("__rn")
     val a = banded.select(col("band_idx"), col("band_key"), col("id").as("id_a"), col("simhash").as("sh_a"))
     val b = banded.select(col("band_idx"), col("band_key"), col("id").as("id_b"), col("simhash").as("sh_b"))
     a.join(b, Seq("band_idx", "band_key"))

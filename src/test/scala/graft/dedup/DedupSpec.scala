@@ -88,6 +88,20 @@ class DedupSpec extends SparkSuite {
     assert(pairs.forall { case (a, b) => a < 10 && b < 10 && a < b })
   }
 
+  test("simhash banding quarantines blank docs and caps degenerate buckets") {
+    // 50k blank docs all share simhash 0 (identical band keys in every
+    // chunk): without the quarantine the band self-join fans out ~10^9 pairs
+    val blank = spark.range(50000).select(col("id"), lit("   ").as("text"))
+    assert(Dedup.simhashCandidatePairs(blank, "id", "text").count() == 0L)
+    // identical non-blank texts: cap 10 -> C(10,2)=45 pairs of smallest ids
+    val txt = "identical boilerplate body repeated across very many crawled pages"
+    val dups = (0 until 50).map(i => (i.toLong, txt)).toDF("id", "text")
+    val pairs = Dedup.simhashCandidatePairs(dups, "id", "text", maxBucket = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.length == 45, s"got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a < 10 && b < 10 && a < b })
+  }
+
   test("nearDupComponents routes identical short docs through the exact path") {
     val docs = Seq(
       (1L, "hi"), (2L, "hi"), (3L, "hi"),   // identical short texts: one component
