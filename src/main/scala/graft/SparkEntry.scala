@@ -375,6 +375,48 @@ object SparkEntry {
         (n, r6(r.zscoreRate), r6(r.iqrRate))
       }.toDF("feature", "zscore_rate", "iqr_rate")
     }),
+    "q_drift_stats" -> ((s, dir) => {
+      // M3 statistics oracle: pooled two-proportion z per bin (binary
+      // drift) and Welch t + Satterthwaite dof on token counts per
+      // n_chars bin, full sample vs the n_chars>200 shifted subset. Inputs
+      // are rounded to 6 decimals on BOTH engines so the SQL replay checks
+      // the FORMULAS (the p-value halves need a normal/t CDF SQL lacks)
+      val m = carveDocs(s, dir)
+      val labeled = Tables.documents(s, dir)
+        .withColumn("y", docLabel.cast("double"))
+        .withColumn("ty", TextOps.tokenCount(col("text")).cast("double"))
+      val binned = m.transform(labeled, keepOriginal = true)
+      val shifted = binned.filter(col("n_chars") > 200)
+      import s.implicits._
+      val zRows = m.kept.flatMap { f =>
+        val agg = shifted.groupBy(col(s"${f.name}_bin").as("bin"))
+          .agg(count(lit(1)).cast("double").as("n"), avg(col("y")).as("r"))
+          .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        f.rates.zipWithIndex.flatMap { case (rr, i) =>
+          agg.get(i).map { case (nNew, rNewRaw) =>
+            val z = graft.stability.Stability.twoProportionZ(
+              Array(r6(rr.rate)), Array(rr.count), Array(r6(rNewRaw)), Array(nNew)).head
+            ("z", f.name, i.toLong, r6(z), null.asInstanceOf[java.lang.Double])
+          }
+        }
+      }
+      def binMoments(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("n_chars_bin").as("bin"))
+          .agg(avg(col("ty")).as("m"), stddev_samp(col("ty")).as("s"),
+            count(lit(1)).cast("double").as("n"))
+          .collect().map(r => r.getInt(0) -> (r6(r.getDouble(1)), r6(r.getDouble(2)), r.getDouble(3))).toMap
+      val tFull = binMoments(binned)
+      val tNew = binMoments(shifted)
+      val wRows = tFull.keys.toSeq.sorted.flatMap { b =>
+        tNew.get(b).map { case (mN, sN, nN) =>
+          val (mF, sF, nF) = tFull(b)
+          val (t, dof) = graft.stability.Stability.welchStat(
+            Array(mF), Array(sF), Array(nF), Array(mN), Array(sN), Array(nN)).head
+          ("welch", "n_chars", b.toLong, r6(t), java.lang.Double.valueOf(r6(dof)))
+        }
+      }
+      (zRows ++ wRows).toDF("test", "feature", "bin", "stat", "dof")
+    }),
     // ------------------------------------------------- sampling / packing
     "q_hash_split" -> ((s, dir) =>
       graft.sample.Sampling.hashSplit(Tables.documents(s, dir), "doc_id", 0.2)
@@ -747,6 +789,49 @@ object SparkEntry {
                 round(list_cosine_similarity(x.v, y.v), 4) AS cos_sim
          FROM a x JOIN a y ON x.vec_id < y.vec_id
          WHERE list_cosine_similarity(x.v, y.v) >= 0.98""",
+    "q_drift_stats" ->
+      s"""WITH fit AS (${carveOracleSql("q_carve_fit")}),
+         tr AS (${carveOracleSql("q_carve_transform")}),
+         d AS (SELECT doc_id, n_chars, CASE WHEN n_chars > 300 THEN 1.0 ELSE 0.0 END AS y,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE length(trim(text)) - length(replace(trim(text), ' ', '')) + 1 END AS DOUBLE) AS ty
+               FROM documents),
+         binmap AS (
+           SELECT doc_id, 'n_chars' AS feature, n_chars_bin AS bin FROM tr
+           UNION ALL SELECT doc_id, 'lang', lang_bin FROM tr
+           UNION ALL SELECT doc_id, 'source', source_bin FROM tr
+         ),
+         newagg AS (
+           SELECT b.feature, b.bin, CAST(count(*) AS DOUBLE) AS n_new, round(avg(d.y), 6) AS rate_new
+           FROM binmap b JOIN d USING (doc_id) WHERE d.n_chars > 200 GROUP BY 1, 2
+         ),
+         z AS (
+           SELECT 'z' AS test, f.feature, f.bin,
+             round((n.rate_new - f.rate) /
+               sqrt(((f.rate*f.n + n.rate_new*n.n_new)/(f.n+n.n_new))
+                 * (1 - (f.rate*f.n + n.rate_new*n.n_new)/(f.n+n.n_new))
+                 * (1.0/f.n + 1.0/n.n_new)), 6) AS stat,
+             NULL::DOUBLE AS dof
+           FROM fit f JOIN newagg n ON n.feature = f.feature AND n.bin = f.bin
+         ),
+         wtrain AS (
+           SELECT t.n_chars_bin AS bin, round(avg(d.ty), 6) AS m,
+                  round(stddev_samp(d.ty), 6) AS s, CAST(count(*) AS DOUBLE) AS n
+           FROM tr t JOIN d USING (doc_id) GROUP BY 1
+         ),
+         wnew AS (
+           SELECT t.n_chars_bin AS bin, round(avg(d.ty), 6) AS m,
+                  round(stddev_samp(d.ty), 6) AS s, CAST(count(*) AS DOUBLE) AS n
+           FROM tr t JOIN d USING (doc_id) WHERE d.n_chars > 200 GROUP BY 1
+         ),
+         w AS (
+           SELECT 'welch' AS test, 'n_chars' AS feature, a.bin,
+             round((b.m - a.m) / sqrt(a.s*a.s/a.n + b.s*b.s/b.n), 6) AS stat,
+             round((a.s*a.s/a.n + b.s*b.s/b.n) * (a.s*a.s/a.n + b.s*b.s/b.n) /
+               ((a.s*a.s/a.n)*(a.s*a.s/a.n)/(a.n-1) + (b.s*b.s/b.n)*(b.s*b.s/b.n)/(b.n-1)), 6) AS dof
+           FROM wtrain a JOIN wnew b USING (bin)
+         )
+         SELECT * FROM z UNION ALL SELECT * FROM w""",
     "q_hash_split" ->
       s"""SELECT doc_id,
          CASE WHEN ${hashUnitSql("doc_id::VARCHAR")} < 0.2 THEN 'test' ELSE 'train' END AS split

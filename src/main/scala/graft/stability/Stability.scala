@@ -174,30 +174,43 @@ object Stability {
     (stat, SpecialFns.chi2Sf(stat, dof.toDouble), dof, math.sqrt(stat / total))
   }
 
-  /** Pooled two-proportion z-test p-values per bin (`metrics.py:101-123`). */
-  def twoProportion(refRate: Array[Double], refCount: Array[Double],
-                    newRate: Array[Double], newCount: Array[Double]): Array[Double] =
+  /** Pooled two-proportion z STATISTIC per bin — the SQL-replayable half
+    * of the test (the oracle checks it; no closed-form normal CDF in SQL).
+    */
+  def twoProportionZ(refRate: Array[Double], refCount: Array[Double],
+                     newRate: Array[Double], newCount: Array[Double]): Array[Double] =
     refRate.indices.map { i =>
       val pooled = (refRate(i) * refCount(i) + newRate(i) * newCount(i)) / (refCount(i) + newCount(i))
       val se = math.sqrt(pooled * (1 - pooled) * (1 / refCount(i) + 1 / newCount(i)))
-      if (!(se > 0)) Double.NaN
-      else 2 * SpecialFns.normSf(math.abs((newRate(i) - refRate(i)) / se))
+      if (!(se > 0)) Double.NaN else (newRate(i) - refRate(i)) / se
+    }.toArray
+
+  /** Pooled two-proportion z-test p-values per bin (`metrics.py:101-123`). */
+  def twoProportion(refRate: Array[Double], refCount: Array[Double],
+                    newRate: Array[Double], newCount: Array[Double]): Array[Double] =
+    twoProportionZ(refRate, refCount, newRate, newCount)
+      .map(z => if (z.isNaN) Double.NaN else 2 * SpecialFns.normSf(math.abs(z)))
+
+  /** Welch (t statistic, Welch-Satterthwaite dof) per bin. */
+  def welchStat(refMean: Array[Double], refStd: Array[Double], refCount: Array[Double],
+                newMean: Array[Double], newStd: Array[Double], newCount: Array[Double]): Array[(Double, Double)] =
+    refMean.indices.map { i =>
+      val vr = refStd(i) * refStd(i) / refCount(i)
+      val vn = newStd(i) * newStd(i) / newCount(i)
+      val se = math.sqrt(vr + vn)
+      if (!(se > 0)) (Double.NaN, Double.NaN)
+      else {
+        val t = (newMean(i) - refMean(i)) / se
+        val dof = (vr + vn) * (vr + vn) / (vr * vr / (refCount(i) - 1) + vn * vn / (newCount(i) - 1))
+        (t, dof)
+      }
     }.toArray
 
   /** Welch t-test p-values per bin (`metrics.py:126-158`). */
   def welch(refMean: Array[Double], refStd: Array[Double], refCount: Array[Double],
             newMean: Array[Double], newStd: Array[Double], newCount: Array[Double]): Array[Double] =
-    refMean.indices.map { i =>
-      val vr = refStd(i) * refStd(i) / refCount(i)
-      val vn = newStd(i) * newStd(i) / newCount(i)
-      val se = math.sqrt(vr + vn)
-      if (!(se > 0)) Double.NaN
-      else {
-        val t = (newMean(i) - refMean(i)) / se
-        val dof = (vr + vn) * (vr + vn) / (vr * vr / (refCount(i) - 1) + vn * vn / (newCount(i) - 1))
-        SpecialFns.tSf2(t, dof)
-      }
-    }.toArray
+    welchStat(refMean, refStd, refCount, newMean, newStd, newCount)
+      .map { case (t, dof) => if (t.isNaN) Double.NaN else SpecialFns.tSf2(t, dof) }
 
   final case class FeatureStability(
       name: String,
