@@ -220,12 +220,30 @@ object Bench {
     val scaling: String =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) """{"skipped":true}"""
       else try {
-        // generate the main table + a small shared warm table (JIT/codegen
-        // warmup target for every child; ~6% of the main table so the warm
-        // run is a fixed small cost instead of scaling with the bench size)
-        val table = java.nio.file.Files.createTempDirectory("graft_pages").toString
-        val warmTable = java.nio.file.Files.createTempDirectory("graft_warm").toString
-        val totalRows = genForked(nUrls, table, warmTable)
+        // The page table is fully deterministic (fixed seeds), so a prior
+        // invocation's table is byte-reusable: cache it at a fixed path
+        // keyed by (generator version, nUrls) and skip the ~50 s generation
+        // when the marker matches — that is the slack that lets a
+        // retake-hit run still fit the secondary pair + full query suite.
+        // BUMP GenVersion whenever PageGen's output changes.
+        val GenVersion = "v1"
+        val table = s"/tmp/graft_bench_pages_${GenVersion}_$nUrls"
+        val warmTable = s"/tmp/graft_bench_warm_${GenVersion}_$nUrls"
+        val marker = java.nio.file.Paths.get(table, "_GEN_OK")
+        val totalRows = {
+          val cached =
+            if (java.nio.file.Files.exists(marker))
+              java.nio.file.Files.readString(marker).trim.split(":") match {
+                case Array(GenVersion, u, rows) if u == nUrls.toString => Some(rows.toLong)
+                case _ => None
+              }
+            else None
+          cached.getOrElse {
+            val rows = genForked(nUrls, table, warmTable)
+            java.nio.file.Files.writeString(marker, s"$GenVersion:$nUrls:$rows")
+            rows
+          }
+        }
         // PRIMARY pair 1 vs 4 (the north rule's N vs 4N). On this single box
         // the wide side shares memory bandwidth with itself — a contention a
         // real 4N-node cluster does not have — so the 2v8 pair UNDERSTATES
