@@ -306,6 +306,10 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Map.empty[String, Double]
       else {
         val spark0 = session(math.min(cpus, 8))
+        // session warmup: without it the alphabetically-first query absorbs
+        // ~4 s of scan/codegen/JIT cost and its number stops meaning anything
+        try graft.tables.Tables.documents(spark0, sfDir).count()
+        catch { case _: Throwable => () }
         val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
         // near-deterministic order + a floor sized to the real per-query
         // cost (almost all <5 s): a 30 s floor once cut 6 queries from the

@@ -483,10 +483,10 @@ object OneVsRestCarver {
       config: BinaryCarver.Config = BinaryCarver.Config()
   ): Model = {
     BinaryCarver.validateInputs(train, target, specs)
-    require(!specs.exists(_.kind == "nested"),
-      "nested features are not supported against an unordered multiclass target — the " +
-        "reference's NestedDiscretizer target sort cannot score string classes " +
-        "(series_target_rate crashes there); use Binary/Continuous/Ordinal carvers")
+    // nested specs are fine HERE (unlike the CA MulticlassCarver): each
+    // class is a binary sub-fit, so the rollup's target sort runs per class
+    // on the binarized rate — matching the reference, where OvR + nested
+    // works while the CA carver's NestedDiscretizer sort crashes on string y
     val sketched = BinaryCarver.sketchHighCardinality(train, specs, config)
     // the class-histogram scan also yields the class set: no distinct() pass.
     // cv>1 folds share the same scan (fold key = one more groupBy column);

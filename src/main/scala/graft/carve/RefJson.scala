@@ -348,12 +348,49 @@ object RefJson {
     case _ => "null" // stateless rates (TargetMeanLevel, continuous means)
   }
 
+  /** One-vs-rest artifact: per-class binary features keyed by their
+    * `<name>__y=<class>` version aliases (S2), exactly like the reference's
+    * OneVsRestCarver.save.
+    */
+  def writeOneVsRest(m: OneVsRestCarver.Model, minFreqAlpha: Double = 0.05): String = {
+    val any = m.perClass(m.classes.head)
+    val feats = m.classes.flatMap(c => m.perClass(c).features)
+    val versions = m.classes.flatMap(c => m.perClass(c).features.map(f => s"${f.name}__y=$c"))
+    val versionOf = feats.zip(versions).map { case (f, v) => (f, v) }
+    val flat = BinaryCarver.Model(m.target, any.minFreq, any.maxNMod, any.sortBy, feats.toVector)
+    writeTop(flat, minFreqAlpha, "target_mean", Map.empty,
+      f => versionOf.collectFirst { case (ff, v) if ff eq f => v }.getOrElse(f.name))
+  }
+
+  def loadOneVsRest(path: String): OneVsRestCarver.Model =
+    readOneVsRest(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
+  /** One-vs-rest load: version keys `<name>__y=<class>` regroup into the
+    * per-class binary models (classes in sorted order, like the fit).
+    */
+  def readOneVsRest(json: String): OneVsRestCarver.Model = {
+    val (m, _) = readWithRaw(json)
+    val Versioned = "^(.*)__y=(.*)$".r
+    val grouped = m.features.flatMap { f =>
+      f.name match {
+        case Versioned(base, cls) => Some((cls, f.copy(name = base)))
+        case _ => None
+      }
+    }.groupBy(_._1)
+    val classes = grouped.keys.toVector.sorted
+    val perClass = grouped.map { case (cls, fs) =>
+      cls -> BinaryCarver.Model(m.target, m.minFreq, m.maxNMod, m.sortBy, fs.map(_._2))
+    }
+    OneVsRestCarver.Model(m.target, classes, perClass)
+  }
+
   private def writeTop(m: BinaryCarver.Model, minFreqAlpha: Double,
-      targetRate: String, rateRefs: Map[String, String]): String = {
+      targetRate: String, rateRefs: Map[String, String],
+      versionOf: BinaryCarver.FittedFeature => String = _.name): String = {
     val sb = new StringBuilder
     sb.append("{\"features\": {")
     val featJsons = m.kept.map(f =>
-      "\"" + esc(f.name) + "\": " + writeFeature(f, targetRate, rateRefs.getOrElse(f.name, "null")))
+      "\"" + esc(versionOf(f)) + "\": " + writeFeature(f, targetRate, rateRefs.getOrElse(f.name, "null"), versionOf(f)))
     sb.append(featJsons.mkString(", "))
     if (m.kept.nonEmpty) sb.append(", ")
     sb.append("\"is_fitted\": true}")
@@ -376,7 +413,8 @@ object RefJson {
     }
 
   private def writeFeature(f: BinaryCarver.FittedFeature, targetRate: String = "target_mean",
-      rateRef: String = "null"): String = {
+      rateRef: String = "null", version: String = null): String = {
+    val ver = if (version == null) f.name else version
     // (leaderJson, contentKeyString, memberJsons) per bin, in bin order
     val groups: Vector[(String, String, Vector[String])] =
       if (f.kind == "quantitative") {
@@ -427,7 +465,7 @@ object RefJson {
       if (f.rates.isEmpty) "null"
       else s"""{"${esc(targetRate)}": ${statDict(_.rate)}, "frequency": ${statDict(_.frequency)}, "count": ${statDict(_.count, asInt = true)}$stdDict}"""
 
-    s"""{"name": "${esc(f.name)}", "version": "${esc(f.name)}", "version_tag": "${esc(f.name)}", """ +
+    s"""{"name": "${esc(f.name)}", "version": "${esc(ver)}", "version_tag": "${esc(ver)}", """ +
       s""""has_nan": ${f.hasNan}, "nan": "$Nan", "has_default": ${f.hasDefault}, "default": "$Other", """ +
       s""""dropna": true, "is_fitted": true, "values": $values, "content": $contentStr, """ +
       s""""is_qualitative": ${f.kind != "quantitative"}, "is_quantitative": ${f.kind == "quantitative"}, """ +

@@ -209,6 +209,45 @@ class NestedSpec extends SparkSuite {
     assert(got(2L) == f.otherBin || got(2L) == 1)
   }
 
+  test("nested kind in the one-vs-rest carver matches the reference (pinned by executing it)") {
+    // reference OneVsRestCarver(nested={"city": ["region"]}, min_freq=0.1,
+    // max_n_mod=4) on this fixture: classes sorted [a,b,c], first dropped;
+    // city__y=b bins {paris}=0.101667/1800, {rest}=0.31/2200;
+    // city__y=c bins {rest}=0.500455/2200, {paris}=0.898333/1800
+    // (per-class rollup + sort on each class's OWN binarized rate)
+    val rows = (0 until 4000).map { i =>
+      val m = i % 100
+      val (city, region) =
+        if (m < 45) ("paris", "idf")
+        else if (m < 85) ("lyon", "aura")
+        else if (m < 93) ("berlin", "be")
+        else if (m < 96) ("nice", "paca")
+        else if (m < 98) ("cannes", "paca")
+        else ("tinytown", "tinyreg")
+      val h = (i * 2654435761L) % 97
+      val base = Map("paris" -> 10, "lyon" -> 40, "berlin" -> 60, "nice" -> 75,
+        "cannes" -> 80, "tinytown" -> 90)(city)
+      val y = if (h < base - 30) "a" else if (h < base) "b" else "c"
+      (i.toLong, city, region, y)
+    }.toDF("id", "city", "region", "y")
+    val m = OneVsRestCarver.fit(rows, "y",
+      Seq(BinaryCarver.FeatureSpec("city", "nested", parents = Seq("region"))),
+      config = BinaryCarver.Config(minFreq = 0.1, maxNMod = 4))
+    assert(m.classes == Vector("b", "c"))
+    val fb = m.perClass("b").kept.head
+    assert(fb.kind == "nested" && fb.nBins == 2)
+    assert(fb.valueToBin("paris") == 0 && fb.valueToBin("lyon") == 1)
+    assert(math.abs(fb.rates(0).rate - 0.101667) < 1e-6 && fb.rates(0).count == 1800.0)
+    assert(math.abs(fb.rates(1).rate - 0.31) < 1e-6 && fb.rates(1).count == 2200.0)
+    val fc = m.perClass("c").kept.head
+    assert(fc.valueToBin("paris") == 1 && fc.valueToBin("lyon") == 0)
+    assert(math.abs(fc.rates(0).rate - 0.500455) < 1e-6)
+    assert(math.abs(fc.rates(1).rate - 0.898333) < 1e-6)
+    // transform emits one bin column per carved class
+    val out = m.transform(rows)
+    assert(out.columns.contains("city__y=b_bin") && out.columns.contains("city__y=c_bin"))
+  }
+
   test("nested kind validation: missing parents or self-parent raises") {
     intercept[IllegalArgumentException] {
       BinaryCarver.fit(df, "y", Seq(BinaryCarver.FeatureSpec("city", "nested")))

@@ -89,6 +89,35 @@ class RefJsonFamiliesSpec extends SparkSuite {
     rep.features.foreach(fs => assert(!fs.unstable, s"${fs.name} drifted on its own train data"))
   }
 
+  test("reference-saved OneVsRestCarver artifact: per-class versions regroup and transform identically") {
+    val m = RefJson.loadOneVsRest(resource("ref_saved_OneVsRestCarver.json"))
+    assert(m.classes == Vector("low", "mid"), m.classes.toString)
+    m.classes.foreach(c => assert(m.perClass(c).kept.map(_.name).toSet == Set("num_a", "cat_a")))
+    val df = spark.read.option("header", "true").csv(resource("ref_saved_onevsrestcarver.csv"))
+      .select(col("row").cast("long"), col("num_a").cast("double"), col("cat_a"),
+        col("t_num_a_Y_low").cast("int"), col("t_cat_a_Y_low").cast("int"),
+        col("t_num_a_Y_mid").cast("int"), col("t_cat_a_Y_mid").cast("int"))
+    val out = m.transform(df)
+    val bad = out.filter(
+      col("num_a__y=low_bin") =!= col("t_num_a_Y_low") ||
+      col("cat_a__y=low_bin") =!= col("t_cat_a_Y_low") ||
+      col("num_a__y=mid_bin") =!= col("t_num_a_Y_mid") ||
+      col("cat_a__y=mid_bin") =!= col("t_cat_a_Y_mid")).limit(5).collect()
+    assert(bad.isEmpty, s"OvR transform mismatch: ${bad.mkString("; ")}")
+    // engine round-trip: write -> read preserves classes and transforms
+    val outDir = java.nio.file.Paths.get("target/refjson_families")
+    java.nio.file.Files.createDirectories(outDir)
+    val p = outDir.resolve("ours_ovr.json")
+    java.nio.file.Files.writeString(p, RefJson.writeOneVsRest(m))
+    val back = RefJson.readOneVsRest(java.nio.file.Files.readString(p))
+    assert(back.classes == m.classes)
+    val a = m.transform(df).select(col("row"), col("num_a__y=low_bin"), col("cat_a__y=mid_bin"))
+      .collect().map(_.toSeq).toSet
+    val b = back.transform(df).select(col("row"), col("num_a__y=low_bin"), col("cat_a__y=mid_bin"))
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
   test("engine-written family artifacts round-trip (write -> read, same transform + rate state)") {
     val outDir = java.nio.file.Paths.get("target/refjson_families")
     java.nio.file.Files.createDirectories(outDir)

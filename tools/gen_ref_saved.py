@@ -267,14 +267,33 @@ def main():
         dump.to_csv(Path(OUT) / f"ref_saved_{fam_name.lower()}.csv", index=False)
         print(f"wrote {OUT}/ref_saved_{fam_name}.json and ref_saved_{fam_name.lower()}.csv")
 
+    # ---- one-vs-rest artifact (per-class versions f__y=<class>) ------------
+    from AutoCarver import OneVsRestCarver
+
+    ovr = OneVsRestCarver(Features(categoricals=["cat_a"], numericals=["num_a"]),
+                          min_freq=0.05, max_n_mod=5,
+                          config=ProcessingConfig(ordinal_encoding=True))
+    ovr.fit(Xf.copy(), y_mc)
+    ovr.save(Path(OUT) / "ref_saved_OneVsRestCarver.json")
+    t_ovr = ovr.transform(Xf.copy())
+    dump = Xf.copy()
+    dump.insert(0, "row", range(len(dump)))
+    dump["y"] = y_mc.values
+    for c in t_ovr.columns:
+        if "__y=" in c:
+            dump["t_" + c.replace("__y=", "_Y_")] = t_ovr[c].values
+    dump.to_csv(Path(OUT) / "ref_saved_onevsrestcarver.csv", index=False)
+    print(f"wrote {OUT}/ref_saved_OneVsRestCarver.json and csv; cols={list(dump.columns)}")
+
     if len(sys.argv) > 2 and sys.argv[1] == "--check-load":
-        # --check-load <path> [binary|ordinal|multiclass|continuous]
+        # --check-load <path> [binary|ordinal|multiclass|continuous|ovr]
         fam = sys.argv[3] if len(sys.argv) > 3 else "binary"
         by_fam = {
             "binary": (BinaryCarver, X, out),
             "ordinal": (OrdinalCarver, Xf, fam_outs["OrdinalCarver"][1]),
             "multiclass": (MulticlassCarver, Xf, fam_outs["MulticlassCarver"][1]),
             "continuous": (ContinuousCarver, Xf, fam_outs["ContinuousCarver"][1]),
+            "ovr": (OneVsRestCarver, Xf, t_ovr),
         }
         cls, Xc, ref_out = by_fam[fam]
         ours = cls.load(Path(sys.argv[2]))
