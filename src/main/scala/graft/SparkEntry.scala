@@ -179,6 +179,13 @@ object SparkEntry {
       val e = Tables.embeddings(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5, nBits = 4)
     }),
+    "q_knn_multiprobe" -> ((s, dir) => {
+      // multiprobe@1: query also probes every bucket one hyperplane-flip
+      // away — recall recovers neighbors split by a single plane
+      val e = Tables.embeddings(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), "vec_id", "embedding", 5,
+        nBits = 4, probes = 1)
+    }),
     "q_embed_neardup" -> ((s, dir) => {
       // corpus-vs-corpus embedding near-dup: planted near-identical vectors
       // (deterministic jitter) must pair with their originals
@@ -1028,6 +1035,31 @@ object SparkEntry {
          scored AS (
            SELECT q.vec_id AS qid, c.vec_id AS nid, list_cosine_similarity(q.v, c.v) AS cos
            FROM ev q JOIN ev c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+           WHERE q.vec_id < 8
+         )
+         SELECT qid, nid, rank, round(cos, 4) AS cos_sim FROM (
+           SELECT qid, nid, cos,
+             row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+           FROM scored
+         ) WHERE rank <= 5"""
+    },
+    "q_knn_multiprobe" -> {
+      // multiprobe@1 == bucket Hamming distance <= 1 between query and
+      // corpus buckets (same deterministic planes as q_knn_lsh)
+      val planeRows = Similarity.hyperplanes(4, 64, 42L).zipWithIndex.map { case (p, b) =>
+        s"($b, [${p.mkString(", ")}])"
+      }.mkString(", ")
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         pl(b, p) AS (VALUES $planeRows),
+         bk AS (
+           SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_inner_product(e.v, pl.p) > 0 THEN (1 << pl.b) ELSE 0 END) AS BIGINT) AS bucket
+           FROM e CROSS JOIN pl GROUP BY e.vec_id
+         ),
+         ev AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id)),
+         scored AS (
+           SELECT q.vec_id AS qid, c.vec_id AS nid, list_cosine_similarity(q.v, c.v) AS cos
+           FROM ev q JOIN ev c ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND c.vec_id <> q.vec_id
            WHERE q.vec_id < 8
          )
          SELECT qid, nid, rank, round(cos, 4) AS cos_sim FROM (

@@ -83,9 +83,13 @@ object Similarity {
   }
 
   /** LSH-bucketed approximate top-k: score each query only against corpus
-    * vectors in the same sign-bucket. Recall rises with fewer bits /
-    * multiprobe; this is the single-probe scale path whose recall is
-    * measured against [[bruteTopK]] in tests.
+    * vectors in the same sign-bucket — or, with `probes > 0`, in any bucket
+    * within Hamming distance `probes` of the query's (standard multiprobe:
+    * a near neighbor falling on the far side of one or two hyperplanes is
+    * recovered without adding tables). The corpus still shuffles ONCE on
+    * its own bucket id; only the small broadcast query side fans out
+    * (sum_{i<=probes} C(nBits, i) probe rows per query).
+    * Recall is measured against [[bruteTopK]] in tests.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -94,16 +98,29 @@ object Similarity {
       vecCol: String,
       k: Int,
       nBits: Int = 8,
-      seed: Long = 42L
+      seed: Long = 42L,
+      probes: Int = 0
   ): DataFrame = {
+    require(probes >= 0 && probes <= 2, "probes in 0..2 (fan-out grows combinatorially)")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     val planes = hyperplanes(nBits, dim, seed)
     // Array[Double] parameter: primitive-array codec, no per-element boxing
     val bucketUdf = udf((v: Array[Double]) => signBucket(v, planes))
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
       .withColumn("bucket", bucketUdf(col("nvec")))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+    val q0 = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("bucket", bucketUdf(col("qvec")))
+    val q =
+      if (probes == 0) q0
+      else {
+        val flips = Seq(0L) ++
+          (0 until nBits).map(b => 1L << b) ++
+          (if (probes >= 2)
+             for { a <- 0 until nBits; b <- a + 1 until nBits } yield (1L << a) | (1L << b)
+           else Seq.empty)
+        q0.withColumn("bucket",
+          explode(array(flips.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+      }
     val scored = c
       .join(broadcast(q), Seq("bucket"))
       .filter(col("qid") =!= col("nid"))

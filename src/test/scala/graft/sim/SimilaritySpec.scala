@@ -30,6 +30,14 @@ class SimilaritySpec extends SparkSuite {
       .select("qid", "nid").as[(Long, Long)].collect().toSet
     val recall = (brute & lsh).size.toDouble / brute.size
     assert(recall > 0.2, s"recall=$recall") // single-probe 2-bit LSH: coarse but nonzero
+    // multiprobe@1 probes every one-flip bucket too: its candidate set is a
+    // superset of single-probe, so recall can only rise — and with 2 bits
+    // probes=1 covers 3 of 4 buckets, so it must beat single-probe here
+    val multi = Similarity.lshTopK(e, q, "vec_id", "embedding", 5, nBits = 2, probes = 1)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val recallM = (brute & multi).size.toDouble / brute.size
+    assert(recallM >= recall, s"multiprobe $recallM < single $recall")
+    assert(recallM > 0.6, s"multiprobe recall=$recallM")
   }
 
   test("hyperplanes and buckets are deterministic") {
