@@ -231,8 +231,9 @@ object Bench {
         val warmTable = s"/tmp/graft_bench_warm_${GenVersion}_$nUrls"
         val marker = java.nio.file.Paths.get(table, "_GEN_OK")
         val totalRows = {
+          val dataDir = java.nio.file.Paths.get(table, "data")
           val cached =
-            if (java.nio.file.Files.exists(marker))
+            if (java.nio.file.Files.exists(marker) && java.nio.file.Files.exists(dataDir))
               java.nio.file.Files.readString(marker).trim.split(":") match {
                 case Array(GenVersion, u, rows) if u == nUrls.toString => Some(rows.toLong)
                 case _ => None

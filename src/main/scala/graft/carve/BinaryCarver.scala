@@ -1027,11 +1027,23 @@ object BinaryCarver {
           val valueToBin = p.valueToRaw.collect {
             case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
           }
-          val otherBin = labelToBin.getOrElse(OtherLabel, -1)
+          // nested features ALWAYS have a default bucket (the reference's
+          // has_default setter appends a zero-mass __OTHER__ as the LAST
+          // modality when no terminal pooling created one — verified by
+          // executing it: unresolved unseen values land in the last bin)
+          val otherBin =
+            if (p.kind == "nested") labelToBin.getOrElse(OtherLabel, b.combination.length - 1)
+            else labelToBin.getOrElse(OtherLabel, -1)
           // ordinal: a search label may stand for several pre-merged raw
           // members — the bin label lists them all (declared order)
-          val binLabels = b.combination.map(g =>
+          val binLabels0 = b.combination.map(g =>
             g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
+          // ...and the appended zero-mass default joins the last bin's
+          // member list, mirroring the reference's GroupedList content
+          val binLabels =
+            if (p.kind == "nested" && !labelToBin.contains(OtherLabel))
+              binLabels0.updated(otherBin, binLabels0(otherBin) + s", $OtherLabel")
+            else binLabels0
           // nested: bucket leaders get their own map for the X4 parent walk
           // (parent values are only ever matched against LEADERS)
           val leaderToBin =

@@ -331,9 +331,17 @@ object ContinuousCarver {
           val valueToBin = p.valueToRaw.collect {
             case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
           }
-          val otherBin = labelToBin.getOrElse(OtherLabel, -1)
-          val binLabels = combination.map(g =>
+          // nested: zero-mass default joins the last bin (reference
+          // has_default semantics; see BinaryCarver.searchFeature)
+          val otherBin =
+            if (p.kind == "nested") labelToBin.getOrElse(OtherLabel, combination.length - 1)
+            else labelToBin.getOrElse(OtherLabel, -1)
+          val binLabels0 = combination.map(g =>
             g.flatMap(l => p.members.getOrElse(l, Vector(l))).mkString(", "))
+          val binLabels =
+            if (p.kind == "nested" && !labelToBin.contains(OtherLabel))
+              binLabels0.updated(otherBin, binLabels0(otherBin) + s", $OtherLabel")
+            else binLabels0
           val leaderToBin =
             if (p.kind == "nested")
               labelToBin.filterNot { case (l, _) => l == NanLabel || l == OtherLabel }

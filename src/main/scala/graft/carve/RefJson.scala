@@ -143,7 +143,14 @@ object RefJson {
       }
       MulticlassCarver.MFitted(f, Double.NaN, Double.NaN, rate)
     }
-    MulticlassCarver.Model(m.target, m.minFreq, m.maxNMod, m.sortBy, Vector.empty, fitted)
+    // engine extension: class names restored when present (absent from
+    // true reference artifacts — stability then derives order from the
+    // scored sample, with the documented same-K class-swap blind spot)
+    val classes = (JsonMethods.parse(json) \ "y_classes") match {
+      case JArray(a) => a.collect { case JString(c) => c }.toVector
+      case _ => Vector.empty
+    }
+    MulticlassCarver.Model(m.target, m.minFreq, m.maxNMod, m.sortBy, classes, fitted)
   }
 
   private def arrOf(v: JValue): List[JValue] = v match { case JArray(a) => a; case _ => Nil }
@@ -330,7 +337,13 @@ object RefJson {
     val rateName = m.features.flatMap(f => Option(f.rateRef)).headOption
       .map(_.name).getOrElse("ca_score")
     val refs = m.features.map(mf => mf.feature.name -> rateRefJson(mf.rateRef)).toMap
-    writeTop(m.binaryView, minFreqAlpha, rateName, refs)
+    // engine EXTENSION field (the reference ignores unknown keys): class
+    // names in axis-column order, so an engine round-trip keeps full class
+    // fidelity instead of re-deriving order from the scored sample
+    val extra =
+      if (m.classes.isEmpty) ""
+      else s""", "y_classes": [${m.classes.map(c => "\"" + esc(c) + "\"").mkString(", ")}]"""
+    writeTop(m.binaryView, minFreqAlpha, rateName, refs, extraTop = extra)
   }
 
   /** Family rate state → the reference's `reference_to_json` payload. */
@@ -353,6 +366,7 @@ object RefJson {
     * OneVsRestCarver.save.
     */
   def writeOneVsRest(m: OneVsRestCarver.Model, minFreqAlpha: Double = 0.05): String = {
+    require(m.classes.nonEmpty, "[RefJson] one-vs-rest model carries no carved classes")
     val any = m.perClass(m.classes.head)
     val feats = m.classes.flatMap(c => m.perClass(c).features)
     val versions = m.classes.flatMap(c => m.perClass(c).features.map(f => s"${f.name}__y=$c"))
@@ -377,6 +391,9 @@ object RefJson {
         case _ => None
       }
     }.groupBy(_._1)
+    require(grouped.nonEmpty,
+      "[RefJson] no '<name>__y=<class>' versioned features found — this is not a " +
+        "one-vs-rest artifact (use load/loadOrdinal/... for single-model families)")
     val classes = grouped.keys.toVector.sorted
     val perClass = grouped.map { case (cls, fs) =>
       cls -> BinaryCarver.Model(m.target, m.minFreq, m.maxNMod, m.sortBy, fs.map(_._2))
@@ -386,7 +403,8 @@ object RefJson {
 
   private def writeTop(m: BinaryCarver.Model, minFreqAlpha: Double,
       targetRate: String, rateRefs: Map[String, String],
-      versionOf: BinaryCarver.FittedFeature => String = _.name): String = {
+      versionOf: BinaryCarver.FittedFeature => String = _.name,
+      extraTop: String = ""): String = {
     val sb = new StringBuilder
     sb.append("{\"features\": {")
     val featJsons = m.kept.map(f =>
@@ -400,7 +418,9 @@ object RefJson {
     sb.append(s""", "combination_evaluator": {"sort_by": "${esc(m.sortBy)}", "target_rate": "${esc(targetRate)}", "verbose": false}""")
     sb.append(""", "dropped_features": [""")
     sb.append(m.features.filter(_.dropped).map(f => "\"" + esc(f.name) + "\"").mkString(", "))
-    sb.append("]}")
+    sb.append("]")
+    sb.append(extraTop)
+    sb.append("}")
     sb.toString
   }
 

@@ -132,23 +132,13 @@ object Dedup {
       numHashes: Int = 64,
       shingleK: Int = 5,
       seed: Long = 42L
-  ): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val spark = df.sparkSession
-    val hash = graft.tables.IcebergLite.configHash(s"minhash:v1:$numHashes:$shingleK:$seed")
-    val dir = Paths.get(table)
-    val marker = dir.resolve("_SIG_CONFIG")
-    val dataPath = s"$table/data"
-    val fresh = Files.exists(marker) && Files.readString(marker).trim == hash
-    if (!fresh) {
+  ): DataFrame =
+    graft.tables.IcebergLite.cachedParquet(df.sparkSession, table,
+      s"minhash:v1:$numHashes:$shingleK:$seed") { dataPath =>
       withMinhash(df, textCol, numHashes, shingleK, seed)
         .select(col(idCol).as("id"), col("minhash"))
         .write.mode("overwrite").parquet(dataPath)
-      Files.createDirectories(dir)
-      Files.writeString(marker, hash)
     }
-    spark.read.parquet(dataPath)
-  }
 
   /** LSH candidate pairs: band the signature, bucket within bands, emit
     * unordered id pairs (a < b) with the estimated Jaccard from full

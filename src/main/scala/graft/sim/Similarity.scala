@@ -175,18 +175,10 @@ object Similarity {
     }
     val vecs = vecCheckpoint match {
       case Some(table) =>
-        import java.nio.file.{Files, Paths}
-        val spark = df.sparkSession
-        val hash = graft.tables.IcebergLite.configHash("embvecs:v1")
-        val marker = Paths.get(table).resolve("_VEC_CONFIG")
-        val dataPath = s"$table/data"
-        if (!(Files.exists(marker) && Files.readString(marker).trim == hash)) {
+        graft.tables.IcebergLite.cachedParquet(df.sparkSession, table, "embvecs:v1") { dataPath =>
           df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
             .write.mode("overwrite").parquet(dataPath)
-          Files.createDirectories(Paths.get(table))
-          Files.writeString(marker, hash)
         }
-        spark.read.parquet(dataPath)
       case None =>
         df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

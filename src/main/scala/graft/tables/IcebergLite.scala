@@ -150,4 +150,28 @@ object IcebergLite {
     val md = java.security.MessageDigest.getInstance("MD5")
     md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
   }
+
+  /** Durable derived-frame cache: if `table` carries a marker matching
+    * `config`'s hash AND its data directory exists, the cached parquet is
+    * read back; otherwise `produce(dataPath)` writes it and the marker is
+    * stamped AFTER the write (a crash mid-produce leaves no marker, so the
+    * next run regenerates). Shared by the minhash/embedding signature
+    * checkpoints — at corpus scale a derived frame this size belongs in a
+    * table, not executor-local block storage.
+    */
+  def cachedParquet(spark: SparkSession, table: String, config: String)
+      (produce: String => Unit): org.apache.spark.sql.DataFrame = {
+    val hash = configHash(config)
+    val dir = Paths.get(table)
+    val marker = dir.resolve("_CKPT_CONFIG")
+    val dataPath = s"$table/data"
+    val fresh = Files.exists(marker) && Files.exists(Paths.get(dataPath)) &&
+      Files.readString(marker).trim == hash
+    if (!fresh) {
+      produce(dataPath)
+      Files.createDirectories(dir)
+      Files.writeString(marker, hash)
+    }
+    spark.read.parquet(dataPath)
+  }
 }

@@ -36,7 +36,11 @@ object Packing {
     require(blockSize > 0, "blockSize must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
+    // null-safety: a null token count (e.g. TokenCount over a null text)
+    // packs as 0 tokens — the doc still lands in a sequence; rows with a
+    // null id are unaddressable and are dropped
+    df.select(col(idCol).cast("long"), coalesce(col(tokenCol).cast("long"), lit(0L)))
+      .filter(col(idCol).isNotNull)
       .as[(Long, Long)]
       .groupByKey(_._1 / blockSize)
       .flatMapGroups { (block, it) =>

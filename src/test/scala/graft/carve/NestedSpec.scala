@@ -209,6 +209,33 @@ class NestedSpec extends SparkSuite {
     assert(got(2L) == f.otherBin || got(2L) == 1)
   }
 
+  test("nested default bucket with NO terminal pooling: unresolved unseen lands in the last bin (reference-pinned)") {
+    // reference BinaryCarver(nested={"city": ["region"]}, min_freq=0.1,
+    // max_n_mod=4) on this fixture (no rare bucket -> no __OTHER__ mass):
+    // label_per_value = {lyon:0, paris:0, __OTHER__:1, berlin:1} — the
+    // has_default setter appends a zero-mass __OTHER__ as the LAST
+    // modality, so an unresolved unseen value transforms to bin 1
+    val rows = (0 until 3000).map { i =>
+      val m = i % 10
+      val (city, region) =
+        if (m < 4) ("paris", "idf") else if (m < 7) ("lyon", "aura") else ("berlin", "be")
+      val y = if ((i * 7) % 10 < Map("paris" -> 1, "lyon" -> 3, "berlin" -> 8)(city)) 1 else 0
+      (i.toLong, city, region, y)
+    }.toDF("id", "city", "region", "y")
+    val m = BinaryCarver.fit(rows, "y",
+      Seq(BinaryCarver.FeatureSpec("city", "nested", parents = Seq("region"))),
+      config = BinaryCarver.Config(minFreq = 0.1, maxNMod = 4))
+    val f = m.kept.head
+    assert(f.nBins == 2)
+    assert(f.valueToBin("lyon") == 0 && f.valueToBin("paris") == 0 && f.valueToBin("berlin") == 1,
+      f.valueToBin.toString)
+    assert(f.otherBin == 1, s"otherBin=${f.otherBin}") // zero-mass default joins the last bin
+    assert(f.binLabels(1).contains(BinaryCarver.OtherLabel), f.binLabels.toString)
+    val out = m.transform(Seq((1L, "marseille", "nowhere")).toDF("id", "city", "region"))
+      .select("city").head().getInt(0)
+    assert(out == 1)
+  }
+
   test("nested kind in the one-vs-rest carver matches the reference (pinned by executing it)") {
     // reference OneVsRestCarver(nested={"city": ["region"]}, min_freq=0.1,
     // max_n_mod=4) on this fixture: classes sorted [a,b,c], first dropped;
