@@ -15,6 +15,7 @@ import org.apache.spark.sql.functions._
   * verifies the reference loads them back.
   */
 class RefJsonFamiliesSpec extends SparkSuite {
+  import spark.implicits._
 
   private def resource(name: String): String =
     getClass.getResource(s"/golden/$name").getPath
@@ -87,6 +88,29 @@ class RefJsonFamiliesSpec extends SparkSuite {
     val rep = graft.stability.Stability.evaluateContinuous(m, df, "y")
     assert(rep.features.nonEmpty)
     rep.features.foreach(fs => assert(!fs.unstable, s"${fs.name} drifted on its own train data"))
+  }
+
+  test("reference-saved NestedFeature artifact: transform parity + X4 walk from the artifact alone") {
+    val m = RefJson.load(resource("ref_saved_NestedFeature.json"))
+    val f = m.kept.find(_.name == "city").get
+    assert(f.kind == "nested" && f.parents == Vector("region"), s"${f.kind} ${f.parents}")
+    assert(f.hasDefault && f.otherBin >= 0)
+    // bucket leaders rebuilt from the content group leaders
+    assert(f.leaderToBin.nonEmpty)
+    val df = spark.read.option("header", "true").csv(resource("ref_saved_nested.csv"))
+      .select(col("row").cast("long"), col("city"), col("region"), col("t_city").cast("int"))
+    val out = m.transform(df, keepOriginal = true)
+    val bad = out.filter(col("city_bin") =!= col("t_city")).limit(5).collect()
+    assert(bad.isEmpty, s"nested transform mismatch: ${bad.mkString("; ")}")
+    // X4 from the LOADED artifact: unseen city with a leader parent resolves
+    // through the walk; unresolved unseen falls to the default bucket
+    val planted = Seq((1L, "unseen_city", "paca"), (2L, "unseen_city", "nowhere"))
+      .toDF("row", "city", "region")
+    val got = m.transform(planted, keepOriginal = true).select("row", "city_bin")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // paca rolled into a bin at fit: its bucket leader bin, else default
+    assert(got(2L) == f.otherBin)
+    assert(got(1L) == f.leaderToBin.getOrElse("paca", f.otherBin))
   }
 
   test("reference-saved OneVsRestCarver artifact: per-class versions regroup and transform identically") {

@@ -267,6 +267,33 @@ def main():
         dump.to_csv(Path(OUT) / f"ref_saved_{fam_name.lower()}.csv", index=False)
         print(f"wrote {OUT}/ref_saved_{fam_name}.json and ref_saved_{fam_name.lower()}.csv")
 
+    # ---- nested-feature artifact (is_nested + parents + default bucket) ----
+    nrows = []
+    for i in range(4000):
+        m = i % 100
+        if m < 45: city, region = "paris", "idf"
+        elif m < 85: city, region = "lyon", "aura"
+        elif m < 93: city, region = "berlin", "be"
+        elif m < 96: city, region = "nice", "paca"
+        elif m < 98: city, region = "cannes", "paca"
+        else: city, region = "tinytown", "tinyreg"
+        h = (i * 2654435761) % 97
+        base = {"paris": 10, "lyon": 40, "berlin": 60, "nice": 75, "cannes": 80, "tinytown": 90}[city]
+        nrows.append((city, region, 1 if h < base else 0))
+    Xn = pd.DataFrame(nrows, columns=["city", "region", "y"])
+    yn = Xn.pop("y")
+    nc = BinaryCarver(Features(nested={"city": ["region"]}), min_freq=0.1, max_n_mod=4,
+                      config=ProcessingConfig(ordinal_encoding=True))
+    nc.fit(Xn.copy(), yn)
+    nc.save(Path(OUT) / "ref_saved_NestedFeature.json")
+    t_n = nc.transform(Xn.copy())
+    dump = Xn.copy()
+    dump.insert(0, "row", range(len(dump)))
+    dump["y"] = yn.values
+    dump["t_city"] = t_n["city"].values
+    dump.to_csv(Path(OUT) / "ref_saved_nested.csv", index=False)
+    print(f"wrote {OUT}/ref_saved_NestedFeature.json and ref_saved_nested.csv")
+
     # ---- one-vs-rest artifact (per-class versions f__y=<class>) ------------
     from AutoCarver import OneVsRestCarver
 
