@@ -531,6 +531,7 @@ object OrdinalCarver {
             FittedFeature(spec.name, p.kind, Vector.empty, Vector.empty, valueToBin,
               nanBin, otherBin, p.hasNan, p.hasDefault, binLabels, Double.NaN, Double.NaN,
               b.rates, dropped = false, droppedReason = "",
+              ordinalOrder = if (p.kind == "ordinal") spec.ordinalOrder.toVector else Vector.empty,
               parents = if (p.kind == "nested") spec.parents.toVector else Vector.empty,
               leaderToBin = leaderToBin,
               history = if (histBuf == null) Vector.empty else histBuf.toVector)
