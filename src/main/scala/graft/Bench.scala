@@ -217,6 +217,7 @@ object Bench {
         s""""speedup":${tN / t4N},"efficiency":$efficiency,"rounds":$roundsJson}""")
     }
 
+    var genRan = false
     val scaling: String =
       if (sys.env.contains("SPARK_GRAFT_SKIP_SCALING")) """{"skipped":true}"""
       else try {
@@ -226,7 +227,7 @@ object Bench {
         // when the marker matches — that is the slack that lets a
         // retake-hit run still fit the secondary pair + full query suite.
         // BUMP GenVersion whenever PageGen's output changes.
-        val GenVersion = "v1"
+        val GenVersion = "v2" // v2: warm table nUrls/32 (was /16)
         val table = s"/tmp/graft_bench_pages_${GenVersion}_$nUrls"
         val warmTable = s"/tmp/graft_bench_warm_${GenVersion}_$nUrls"
         val marker = java.nio.file.Paths.get(table, "_GEN_OK")
@@ -240,6 +241,7 @@ object Bench {
               }
             else None
           cached.getOrElse {
+            genRan = true
             val rows = genForked(nUrls, table, warmTable)
             java.nio.file.Files.writeString(marker, s"$GenVersion:$nUrls:$rows")
             rows
@@ -270,7 +272,10 @@ object Bench {
         // round 2 — the secondary pair reserves its estimated cost so a
         // 2-round primary can't starve it
         val secondaryReserve = if (pair2.isDefined) 150.0 else 0.0
-        val primary = measurePair(n1, n4, maxRounds, coolSec, 10, table, warmTable, totalRows,
+        // a cache hit means NOTHING burned before the first child — the
+        // pre-narrow cooldown is only needed after a real generation burn
+        val coolFirst = if (genRan) coolSec else math.min(coolSec, 8)
+        val primary = measurePair(n1, n4, maxRounds, coolFirst, 10, table, warmTable, totalRows,
           remaining - secondaryReserve, retakeRemaining = remaining)
           .getOrElse(throw new RuntimeException("no primary scaling round fit the budget"))
         val secondary = pair2.flatMap { case (a, b) =>
@@ -381,7 +386,7 @@ object BenchGen {
     s.sparkContext.setLogLevel("ERROR")
     try {
       val m = IcebergLite.write(PageGen.pages(s, nUrls), table)
-      IcebergLite.write(PageGen.pages(s, math.max(20000L, nUrls / 16), seed = 7L), warmTable)
+      IcebergLite.write(PageGen.pages(s, math.max(20000L, nUrls / 32), seed = 7L), warmTable)
       println(s"CHILD_RESULT ${m.totalRows}")
     } finally s.stop()
   }
