@@ -123,6 +123,15 @@ object Dedup {
     * TABLE once, tagged with a config hash; any later run with the same
     * (numHashes, shingleK, seed) resumes from the table without touching
     * the text again. Returns the checkpointed `(id, minhash)` frame.
+    *
+    * INVALIDATION CONTRACT: the cache key is the signature CONFIG (plus
+    * `datasetTag`), NOT the input data — that is what makes resume work
+    * (a rerun must not re-shingle 100 TB just because the frame was
+    * re-read). Running the same `table` against a DIFFERENT or updated
+    * corpus therefore serves stale signatures unless the caller either
+    * points at a fresh `table` or passes a `datasetTag` identifying the
+    * input (source path, snapshot id, row count — anything that changes
+    * when the data does).
     */
   def minhashCheckpointed(
       df: DataFrame,
@@ -131,10 +140,11 @@ object Dedup {
       table: String,
       numHashes: Int = 64,
       shingleK: Int = 5,
-      seed: Long = 42L
+      seed: Long = 42L,
+      datasetTag: String = ""
   ): DataFrame =
     graft.tables.IcebergLite.cachedParquet(df.sparkSession, table,
-      s"minhash:v1:$numHashes:$shingleK:$seed") { dataPath =>
+      s"minhash:v1:$numHashes:$shingleK:$seed:$datasetTag") { dataPath =>
       withMinhash(df, textCol, numHashes, shingleK, seed)
         .select(col(idCol).as("id"), col("minhash"))
         .write.mode("overwrite").parquet(dataPath)
@@ -163,13 +173,16 @@ object Dedup {
       // optional durable signature table ([[minhashCheckpointed]]): at
       // corpus scale prefer it over executor-local persist — survives
       // executor loss and lets a killed dedup run resume without
-      // re-shingling the corpus
-      sigCheckpoint: Option[String] = None
+      // re-shingling the corpus. See minhashCheckpointed's INVALIDATION
+      // CONTRACT: the table is keyed by config + datasetTag, not the data.
+      sigCheckpoint: Option[String] = None,
+      datasetTag: String = ""
   ): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val sigs = sigCheckpoint match {
-      case Some(table) => minhashCheckpointed(df, idCol, textCol, table, numHashes, shingleK, seed)
+      case Some(table) =>
+        minhashCheckpointed(df, idCol, textCol, table, numHashes, shingleK, seed, datasetTag)
       case None =>
         withMinhash(df, textCol, numHashes, shingleK, seed)
           .select(col(idCol).as("id"), col("minhash"))
@@ -404,9 +417,14 @@ object Dedup {
       // semantics are safe here: task retries can only inflate a non-zero
       // count, never turn a converged round (all ticks skipped) non-zero.
       val acc = spark.sparkContext.longAccumulator(s"cc_changed_iter$iter")
-      // each node adopts the min component among itself and its neighbours
+      // each node adopts the min component among itself and its neighbours.
+      // `own` is typed from the label column itself — ids can be any
+      // orderable type (long, string URL keys, ...); hardcoding a long
+      // here would silently null-cast string ids and collapse every
+      // component to a singleton.
+      val idType = labels.schema("component").dataType
       val msgs = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
-        .select(col("dst").as("id"), col("component"), lit(null).cast("long").as("own"))
+        .select(col("dst").as("id"), col("component"), lit(null).cast(idType).as("own"))
         .unionByName(labels.select(col("id"), col("component"), col("component").as("own")))
       // materialized once per round; the jump side re-wraps the SAME cached
       // blocks with fresh attribute ids (self-joins of one plan trip the
@@ -415,7 +433,13 @@ object Dedup {
         .agg(min("component").as("component"), max("own").as("old"))
         .localCheckpoint(true)
       val hopCopy = hop.sparkSession.createDataFrame(hop.rdd, hop.schema)
-      val tick = udf { (c: Long, o: Long) => if (c != o) acc.add(1L); c }
+      // type-agnostic change detection: the null-safe comparison happens in
+      // a column expression (works for any id type), and only a BOOLEAN
+      // reaches the accumulator tick. The tick rides an always-true FILTER
+      // marked nondeterministic so the optimizer can neither prune it (an
+      // unused projected column would be column-pruned away) nor push it
+      // below the localCheckpoint materialization.
+      val tick = udf { (changed: Boolean) => if (changed) acc.add(1L); true }.asNondeterministic()
       // pointer jump (path halving): follow the label's own label — the
       // component ids ARE node ids, so one extra join per round turns
       // O(diameter) convergence into O(log diameter); long dup-chains
@@ -424,7 +448,9 @@ object Dedup {
         .join(hopCopy.select(col("id").as("pid"), col("component").as("pcomp")),
           hop("component") === col("pid"), "left")
         .select(hop("id").as("id"),
-          tick(coalesce(col("pcomp"), hop("component")), col("old")).as("component"))
+          coalesce(col("pcomp"), hop("component")).as("component"), col("old"))
+        .filter(tick(!(col("component") <=> col("old"))))
+        .select(col("id"), col("component"))
         .localCheckpoint(true)
       changed = acc.value
       labels = next
@@ -459,8 +485,11 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
     val normText = trim(lower(col(textCol)))
     val wShort = Window.partitionBy(md5(normText.cast("binary")))
+    // NULL text (missing / failed extraction) must NOT link: all nulls share
+    // one md5 partition, which would merge every extraction failure into a
+    // single "duplicate" cluster and drop all but one. Nulls stay singletons.
     val shortEdges = df
-      .filter(coalesce(length(normText), lit(0)) < shingleK)
+      .filter(col(textCol).isNotNull && length(normText) < shingleK)
       .select(col(idCol).as("id_b"), min(col(idCol)).over(wShort).as("id_a"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))

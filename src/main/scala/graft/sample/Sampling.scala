@@ -31,7 +31,15 @@ object Sampling {
     pmod(graft.transform.Fnv1aRaw.column(concat(key.cast("string"), lit(s":$seed"))),
       lit(1000000L)).cast("double") / 1e6
 
-  /** Adds a `split` column ("train" / "test") keyed by `keyCol`. */
+  /** Adds a `split` column ("train" / "test") keyed by `keyCol`.
+    *
+    * NULL-KEY CONTRACT (applies to [[groupSplit]] and
+    * [[stratifiedSample]] too): `hashUnit(null)` is null, null compares
+    * false, so every null-key row deterministically routes to `train`
+    * here and is DROPPED by stratifiedSample's filter. A corpus where
+    * null keys are meaningful should coalesce them to a sentinel first —
+    * the engine will not invent a hash for a missing identity.
+    */
   def hashSplit(df: DataFrame, keyCol: String, testFrac: Double, seed: Long = 42L): DataFrame = {
     require(testFrac > 0.0 && testFrac < 1.0, s"testFrac $testFrac out of (0,1)")
     df.withColumn("split",

@@ -152,8 +152,13 @@ object Similarity {
       seed: Long = 42L,
       // optional durable (id, vec) table: at corpus scale prefer it over
       // executor-local persist — survives executor loss, and a killed run
-      // resumes without re-reading/re-casting the source embeddings
-      vecCheckpoint: Option[String] = None
+      // resumes without re-reading/re-casting the source embeddings.
+      // INVALIDATION CONTRACT: the table is keyed by config + datasetTag,
+      // NOT the input data (that is what makes resume cheap) — reusing one
+      // table path across different corpora serves stale vectors unless
+      // datasetTag identifies the input (source path, snapshot id, ...).
+      vecCheckpoint: Option[String] = None,
+      datasetTag: String = ""
   ): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
     val allPlanes = hyperplanes(bands * bitsPerBand, dim, seed)
@@ -175,7 +180,7 @@ object Similarity {
     }
     val vecs = vecCheckpoint match {
       case Some(table) =>
-        graft.tables.IcebergLite.cachedParquet(df.sparkSession, table, "embvecs:v1") { dataPath =>
+        graft.tables.IcebergLite.cachedParquet(df.sparkSession, table, s"embvecs:v1:$datasetTag") { dataPath =>
           df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
             .write.mode("overwrite").parquet(dataPath)
         }

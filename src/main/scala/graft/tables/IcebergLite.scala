@@ -158,6 +158,13 @@ object IcebergLite {
     * next run regenerates). Shared by the minhash/embedding signature
     * checkpoints — at corpus scale a derived frame this size belongs in a
     * table, not executor-local block storage.
+    *
+    * INVALIDATION CONTRACT: freshness is decided by `config` ALONE — the
+    * produced data is NOT fingerprinted (that is what makes resume cheap:
+    * a rerun must not rescan the source to prove the cache valid). Callers
+    * whose `produce` depends on input data must fold a dataset identity
+    * (source path, snapshot id, row count, a caller tag) into `config`,
+    * or use a distinct `table` per dataset.
     */
   def cachedParquet(spark: SparkSession, table: String, config: String)
       (produce: String => Unit): org.apache.spark.sql.DataFrame = {

@@ -42,7 +42,10 @@ object Packing {
     df.select(col(idCol).cast("long"), coalesce(col(tokenCol).cast("long"), lit(0L)))
       .filter(col(idCol).isNotNull)
       .as[(Long, Long)]
-      .groupByKey(_._1 / blockSize)
+      // floorDiv, not truncating `/`: with signed ids, truncation folds all
+      // of (-blockSize, blockSize) into block 0 — up to 2*blockSize-1 rows
+      // in one task, silently doubling the documented memory bound
+      .groupByKey(p => Math.floorDiv(p._1, blockSize))
       .flatMapGroups { (block, it) =>
         val docs = it.toArray.sortBy(_._1)
         var seq = 0L

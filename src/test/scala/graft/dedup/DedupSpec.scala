@@ -172,6 +172,37 @@ class DedupSpec extends SparkSuite {
     assert(pairs.count() >= 0)
   }
 
+  test("connectedComponents is id-type generic: string (URL) keys converge, no silent cast") {
+    import spark.implicits._
+    // a URL-keyed corpus: chain a-b-c, pair d-e, singleton f. Before the
+    // type fix the long-typed `own`/tick null-cast every string id →
+    // every node silently became its own singleton with no error.
+    val nodes = Seq("url://a", "url://b", "url://c", "url://d", "url://e", "url://f").toDF("id")
+    val pairs = Seq(("url://b", "url://a"), ("url://b", "url://c"), ("url://d", "url://e"))
+      .toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(comp == Map(
+      "url://a" -> "url://a", "url://b" -> "url://a", "url://c" -> "url://a",
+      "url://d" -> "url://d", "url://e" -> "url://d", "url://f" -> "url://f"), comp.toString)
+  }
+
+  test("nearDupComponents: null texts stay singletons (extraction failures never link)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]),
+      (5L, "ab"), (6L, "ab")
+    ).toDF("doc_id", "text")
+    val comp = Dedup.nearDupComponents(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp(1L) == comp(2L))          // real dups link
+    assert(comp(5L) == comp(6L))          // identical short texts link (exact path)
+    assert(comp(3L) == 3L && comp(4L) == 4L, comp.toString) // nulls never link
+  }
+
   test("nearDupComponents: planted truncated dups land in their original's component") {
     import spark.implicits._
     val docs = (0 until 40).map { i =>

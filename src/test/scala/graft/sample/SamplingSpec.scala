@@ -72,4 +72,15 @@ class SamplingSpec extends SparkSuite {
     assert(out(2L) == ((1L, 0L, 500L))) // own sequence, not truncated
     assert(out(3L) == ((2L, 0L, 60L)))
   }
+
+  test("packSequences: signed ids block by floorDiv — no double-wide block 0") {
+    // truncating `/` would fold all of (-100, 100) into block 0 (199 rows);
+    // floorDiv keeps the per-block memory bound exact for signed id spaces
+    val d = Seq((-150L, 10L), (-100L, 10L), (-1L, 10L), (0L, 10L), (99L, 10L), (100L, 10L))
+      .toDF("id", "tokens")
+    val blocks = graft.text.Packing.packSequences(d, "id", "tokens", budget = 100L, blockSize = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(blocks == Map(-150L -> -2L, -100L -> -1L, -1L -> -1L,
+      0L -> 0L, 99L -> 0L, 100L -> 1L), blocks.toString)
+  }
 }
