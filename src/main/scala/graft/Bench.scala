@@ -29,6 +29,10 @@ import graft.tables.IcebergLite
   * round, and the query loop stops early rather than die silent.
   */
 object Bench {
+  /** round to 3 / 4 decimals for the artifact (below measurement noise) */
+  private def r3(x: Double): Double = math.rint(x * 1e3) / 1e3
+  private def r4(x: Double): Double = math.rint(x * 1e4) / 1e4
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -208,13 +212,17 @@ object Bench {
       }
       val perRound = samples.toSeq.map { case (a, b) => (a, b, a / b / factor) }
       val (tN, t4N, efficiency) = perRound.maxBy(_._3)
+      // values are rounded at the source (ms / 4-decimal efficiency — both
+      // far below host noise): the driver archives a 2000-char stdout TAIL,
+      // and full-precision doubles once pushed the line past it, truncating
+      // 17 of 48 query timings out of the round artifact
       val roundsJson = perRound.map { case (a, b, e) =>
-        s"""{"sec_n":$a,"sec_4n":$b,"efficiency":$e}"""
+        s"""{"sec_n":${r3(a)},"sec_4n":${r3(b)},"efficiency":${r4(e)}}"""
       }.mkString("[", ",", "]")
-      val retakeJson = if (retake4n.isNaN) "" else s""""retake_4n":$retake4n,"""
+      val retakeJson = if (retake4n.isNaN) "" else s""""retake_4n":${r3(retake4n)},"""
       Some(s"""{"n_cores":$n1,"n4_cores":$n4,"rows":$totalRows,$retakeJson""" +
-        s""""sec_n":$tN,"sec_4n":$t4N,"docs_per_sec_n":${totalRows / tN},"docs_per_sec_4n":${totalRows / t4N},""" +
-        s""""speedup":${tN / t4N},"efficiency":$efficiency,"rounds":$roundsJson}""")
+        s""""sec_n":${r3(tN)},"sec_4n":${r3(t4N)},"docs_per_sec_n":${(totalRows / tN).toLong},"docs_per_sec_4n":${(totalRows / t4N).toLong},""" +
+        s""""speedup":${r4(tN / t4N)},"efficiency":${r4(efficiency)},"rounds":$roundsJson}""")
     }
 
     var genRan = false
@@ -295,11 +303,19 @@ object Bench {
       }
 
     def emit(qs: Map[String, Double], partial: Boolean): Unit = {
-      val q = qs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val q = qs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
       val total = if (qs.nonEmpty) qs.values.sum else 0.0
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$q,""" +
-        s""""sf":"$sfDir","partial":$partial,"pages_pipeline":$scaling}""")
+      val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$q,""" +
+        s""""sf":"$sfDir","partial":$partial,"pages_pipeline":$scaling}"""
+      println(line)
       System.out.flush()
+      // file twin of the stdout line: the driver's round artifact is a
+      // 2000-char stdout tail, so the COMPLETE record must also land
+      // somewhere durable (VERDICT r4 item 1). Best-effort — a read-only
+      // target must never kill the bench.
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_result.json")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] bench-out write failed: ${e.getMessage}") }
     }
 
     // the scaling evidence is on stdout NOW — a later timeout can't erase it
