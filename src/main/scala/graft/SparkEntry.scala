@@ -228,6 +228,69 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("feature", "bin", "bin_label", "rate", "n")
     }),
+    "q_carve_datetime" -> ((s, dir) => {
+      // datetime carve (T3 under hard oracle): ts2 = ts + floor(value)
+      // minutes (NaT every 7th event) carved ROW-WISE against ts; ts carved
+      // against the fixed literal "2024-01-01". The dependent is declared
+      // FIRST — the reference's cast_datetime_features converts in place in
+      // feature order (`base_discretizer.py:715-733`), so a reference column
+      // converted before its dependents would poison the row-wise delta;
+      // withTimedeltas' foldLeft reproduces the same order semantics.
+      import graft.carve.{BinaryCarver, DatetimeFeatures}
+      val df = Tables.events(s, dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("ts2",
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null).cast("timestamp"))
+            .otherwise(timestamp_micros(
+              unix_micros(col("ts")) + (floor(col("value")) * 60L * 1000000L).cast("long"))))
+        .withColumn("y", (dayofmonth(col("ts")) > 15 || col("value") > 200).cast("int"))
+      val specs = Seq(
+        DatetimeFeatures.DatetimeSpec("ts2", "ts"),
+        DatetimeFeatures.DatetimeSpec("ts", "2024-01-01"))
+      val m = BinaryCarver.fit(DatetimeFeatures.withTimedeltas(df, specs), "y",
+        DatetimeFeatures.featureSpecs(specs))
+      fitRowsDF(s, m)
+    }),
+    "q_carve_rescue" -> ((s, dir) => {
+      // rescue-rare (C13) under hard oracle: source=='src1' → 'rare' is a
+      // dominant-mode categorical (5.2% < half_min_freq at minFreq=0.15);
+      // nothing is viable at min_freq, the rescue rerun waives it and keeps
+      // the 2-bin split because the signal holds on dev (docs 250+) —
+      // fixture produced by executing `combination_evaluator.py:507-516`.
+      import graft.carve.BinaryCarver
+      val d = Tables.documents(s, dir)
+        .withColumn("grp", when(col("source") === "src1", lit("rare")).otherwise(lit("common")))
+        .withColumn("y", docLabel)
+      val m = BinaryCarver.fit(
+        d.filter(col("doc_id") < 250), "y",
+        Seq(BinaryCarver.FeatureSpec("grp", "categorical")),
+        dev = Some(d.filter(col("doc_id") >= 250)),
+        config = BinaryCarver.Config(minFreq = 0.15, maxNMod = 5, rescue = true))
+      fitRowsDF(s, m)
+    }),
+    "q_carve_foldcol" -> ((s, dir) => {
+      // external fold assignment replayed through Config.foldCol: folds are
+      // doc_id % 3, the same iterable-of-index-pairs the reference consumed
+      // via check_cv (`base_carver.py:607-628`). Pins the fold plumbing AND
+      // the per-fold veto (lang drops under these folds).
+      import graft.carve.BinaryCarver
+      val d = Tables.documents(s, dir).withColumn("y", docLabel)
+        .withColumn("__fold", pmod(col("doc_id"), lit(3)))
+      val m = BinaryCarver.fit(d, "y", Seq(
+        BinaryCarver.FeatureSpec("n_chars", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical")),
+        config = BinaryCarver.Config(cv = 3, foldCol = "__fold"))
+      fitRowsDF(s, m)
+    }),
+    "q_carve_fit_sf01" -> ((s, dir) => {
+      // the q_carve_fit config at 10× the rows (sf0.1): catches quantile-
+      // edge/tie flips the 500-row fixtures cannot see (SURVEY §7.4). Reads
+      // the sf0.1 sibling of the verify dir; falls back to `dir` when absent
+      // (the fixture was produced by the reference on sf0.1).
+      val sib = new java.io.File(new java.io.File(dir).getParentFile, "sf0.1")
+      val dir01 = if (sib.exists()) sib.toString else dir
+      fitRowsDF(s, carveDocs(s, dir01))
+    }),
     "q_carve_transform" -> ((s, dir) => {
       val m = carveDocs(s, dir)
       m.transform(Tables.documents(s, dir).withColumn("y", docLabel), keepOriginal = true)
@@ -515,6 +578,17 @@ object SparkEntry {
 
   /** deterministic binary label over documents for the carver queries */
   private def docLabel = when(col("n_chars") > 300, lit(1)).otherwise(lit(0))
+
+  /** fit summary rows in the fixture-oracle shape (feature, bin, label,
+    * r6(rate), n) — shared by every binary-carve fixture query
+    */
+  private def fitRowsDF(s: SparkSession, m: graft.carve.BinaryCarver.Model): DataFrame = {
+    import s.implicits._
+    m.kept.flatMap(f => f.rates.zipWithIndex.map { case (r, i) =>
+      (f.name, i.toLong, sortedLabel(f.binLabels(i)),
+        BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+    }).toDF("feature", "bin", "bin_label", "rate", "n")
+  }
 
   /** Round to 6 decimals (HALF_EVEN); non-finite values pass through
     * (BigDecimal(Inf) throws).

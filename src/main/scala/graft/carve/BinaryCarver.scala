@@ -527,6 +527,13 @@ object BinaryCarver {
       // cross-validation folds (C4): deterministic pmod(hash(features,y), cv)
       // assignment; each held-out fold is an extra robustness view
       cv: Int = 0,
+      // user-supplied fold assignment (the reference accepts any sklearn
+      // splitter / iterable of index pairs via check_cv,
+      // `base_carver.py:607-628`): name of an existing integer column with
+      // values in [0, cv) — external fold assignments (StratifiedKFold,
+      // group folds, ...) replay exactly. Requires cv = fold count; null
+      // keeps the deterministic hash key.
+      foldCol: String = null,
       // rescue-rare rerun (C13): when nothing is viable at min_freq and a
       // validation view exists, rerun with the min_freq veto waived
       rescue: Boolean = false,
@@ -554,7 +561,8 @@ object BinaryCarver {
     // cv>1 shares ONE scan between the train histogram and all fold views
     // (fold key = one more groupBy column; the total is the fold sum)
     val (trainHist, foldHists) =
-      if (config.cv > 1) histogramWithFolds(train, target, specs, config.cv, sketched)
+      if (config.cv > 1)
+        histogramWithFolds(train, target, specs, config.cv, sketched, Option(config.foldCol))
       else (histogram(train, target, specs, sketched), Nil)
     val devHist = dev.map(d => histogram(d, target, specs, sketched))
     fitFromHistograms(trainHist, devHist, target, specs, config, foldHists)
@@ -602,6 +610,17 @@ object BinaryCarver {
   def foldKeyExpr(specs: Seq[FeatureSpec], target: String, cv: Int): Column =
     pmod(xxhash64(specs.map(s => col(s.name)) :+ col(target): _*), lit(cv))
 
+  /** Fold key for a fit: the user-supplied fold column when configured
+    * (replaying external sklearn-style assignments exactly —
+    * `base_carver.py:607-628` accepts any splitter via check_cv), else the
+    * deterministic hash key. Shared by every carver family's fold pass.
+    */
+  def foldExpr(specs: Seq[FeatureSpec], target: String, cv: Int, foldCol: Option[String]): Column =
+    foldCol match {
+      case Some(c) => col(c).cast("long")
+      case None => foldKeyExpr(specs, target, cv)
+    }
+
   /** Train histogram + all `cv` fold histograms from ONE cluster pass: the
     * fold key is one more groupBy column, each held-out fold's view is the
     * rows carrying its key, and the full-train histogram is the sum over
@@ -609,11 +628,12 @@ object BinaryCarver {
     * IO of a plain fit).
     */
   def histogramWithFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int,
-      sketched: Map[String, Vector[Double]] = Map.empty)
+      sketched: Map[String, Vector[Double]] = Map.empty,
+      foldCol: Option[String] = None)
       : (Map[String, Array[HistRow]], Seq[Map[String, Array[HistRow]]]) = {
     val y = col(target).cast("double")
     val long = df.select(explode(array(histEntries(specs, sketched): _*)).as("e"), y.as("__y"),
-      foldKeyExpr(specs, target, cv).as("__fold"))
+      foldExpr(specs, target, cv, foldCol).as("__fold"))
     val agg = long
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"), col("__fold"))
       .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("sy"))
@@ -627,7 +647,11 @@ object BinaryCarver {
       val svNull = r.isNullAt(2)
       val dv = if (dvNull) Double.NaN else r.getDouble(1)
       val sv = if (svNull) null else r.getString(2)
+      require(!r.isNullAt(3),
+        "[BinaryCarver] fold column carries nulls — every row needs a fold id in [0, cv)")
       val f = r.getLong(3).toInt
+      require(f >= 0 && f < cv,
+        s"[BinaryCarver] fold id $f outside [0, $cv) — foldCol must carry integer folds 0..cv-1")
       val cnt = r.getLong(4)
       val sy = if (r.isNullAt(5)) 0.0 else r.getDouble(5)
       folds(f).getOrElseUpdate(fid, mutable.ArrayBuffer.empty) += HistRow(dv, sv, dvNull && svNull, cnt, sy)

@@ -33,7 +33,7 @@ object ContinuousCarver {
     // cv>1 folds ride the SAME scan (fold key as one more groupBy column).
     val sketched = BinaryCarver.sketchHighCardinality(train, specs, config)
     val (trainHist, foldHists) =
-      if (config.cv > 1) BinaryCarver.histogramWithFolds(train, target, specs, config.cv, sketched)
+      if (config.cv > 1) BinaryCarver.histogramWithFolds(train, target, specs, config.cv, sketched, Option(config.foldCol))
       else (BinaryCarver.histogram(train, target, specs, sketched), Nil)
     def totalOf(name: String): Long = trainHist(name).map(_.count).sum
     val prep: Map[String, Prep] = specs.map { s =>
@@ -62,7 +62,7 @@ object ContinuousCarver {
       if (!withMedians || config.cv <= 1) Seq.fill(foldHists.length)(Map.empty)
       else {
         val y = col(target).cast("double")
-        val foldKey = BinaryCarver.foldKeyExpr(specs, target, config.cv)
+        val foldKey = BinaryCarver.foldExpr(specs, target, config.cv, Option(config.foldCol))
         val entries = specs.map(sp => struct(lit(sp.name).as("fid"), labelExpr(sp, prep(sp.name)).as("lbl")))
         val rows = train.withColumn("__fold", foldKey)
           .select(col("__fold"), explode(array(entries: _*)).as("e"), y.as("y"))

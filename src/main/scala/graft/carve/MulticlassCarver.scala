@@ -29,6 +29,7 @@ object MulticlassCarver {
       escalate: Boolean = false,
       maxHistogramRows: Long = 5000000L,
       cv: Int = 0,
+      foldCol: String = null,
       rescue: Boolean = false,
       sketchCardinalityThreshold: Long = 2000000L,
       sketchRelativeError: Double = 0.0001,
@@ -94,11 +95,12 @@ object MulticlassCarver {
     * in the train class space). The single-scan C4 shape.
     */
   def histogramMWithFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int,
-      sketched: Map[String, Vector[Double]] = Map.empty)
+      sketched: Map[String, Vector[Double]] = Map.empty,
+      foldCol: Option[String] = None)
       : (Map[String, Array[KHistRow]], Vector[String], Seq[Map[String, Array[KHistRow]]]) = {
     val y = col(target).cast("string")
     val long = df.select(explode(array(BinaryCarver.histEntries(specs, sketched): _*)).as("e"), y.as("__y"),
-      BinaryCarver.foldKeyExpr(specs, target, cv).as("__fold"))
+      BinaryCarver.foldExpr(specs, target, cv, foldCol).as("__fold"))
     val agg = long
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"),
         col("__y"), col("__fold"))
@@ -151,7 +153,7 @@ object MulticlassCarver {
     // one scan for the train histogram AND (when cv>1) every fold view —
     // histogramMWithFolds levels are already in the full-data class space
     val (trainHist, classes, foldHists) =
-      if (config.cv > 1) histogramMWithFolds(train, target, specs, config.cv, sketched)
+      if (config.cv > 1) histogramMWithFolds(train, target, specs, config.cv, sketched, Option(config.foldCol))
       else { val (h, c) = histogramM(train, target, specs, sketched); (h, c, Nil) }
     require(classes.length > 2,
       s"[MulticlassCarver] y has ${classes.length} classes; use BinaryCarver for <=2")
@@ -493,7 +495,7 @@ object OneVsRestCarver {
     // the fold assignment hashes the raw class label (deterministic, shared
     // across classes) rather than each per-class binarized target.
     val (kHist, classes, kFolds) =
-      if (config.cv > 1) MulticlassCarver.histogramMWithFolds(train, target, specs, config.cv, sketched)
+      if (config.cv > 1) MulticlassCarver.histogramMWithFolds(train, target, specs, config.cv, sketched, Option(config.foldCol))
       else { val (h, c) = MulticlassCarver.histogramM(train, target, specs, sketched); (h, c, Nil) }
     require(classes.length > 2, s"[OneVsRestCarver] y has ${classes.length} classes; use BinaryCarver for <=2")
     val carved = classes.drop(1) // reference drops the first sorted class

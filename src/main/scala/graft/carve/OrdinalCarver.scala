@@ -30,6 +30,7 @@ object OrdinalCarver {
       escalate: Boolean = false,
       maxHistogramRows: Long = 5000000L,
       cv: Int = 0,
+      foldCol: String = null,
       rescue: Boolean = false,
       sketchCardinalityThreshold: Long = 2000000L,
       sketchRelativeError: Double = 0.0001,
@@ -98,11 +99,12 @@ object OrdinalCarver {
     * single-scan C4 shape, see [[BinaryCarver.histogramWithFolds]]).
     */
   def histogramKWithFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int,
-      sketched: Map[String, Vector[Double]] = Map.empty)
+      sketched: Map[String, Vector[Double]] = Map.empty,
+      foldCol: Option[String] = None)
       : (Map[String, Array[KHistRow]], Seq[Map[String, Array[KHistRow]]]) = {
     val y = col(target).cast("double")
     val long = df.select(explode(array(BinaryCarver.histEntries(specs, sketched): _*)).as("e"), y.as("__y"),
-      BinaryCarver.foldKeyExpr(specs, target, cv).as("__fold"))
+      BinaryCarver.foldExpr(specs, target, cv, foldCol).as("__fold"))
     val agg = long
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"),
         col("__y"), col("__fold"))
@@ -147,7 +149,7 @@ object OrdinalCarver {
         sketchCardinalityThreshold = config.sketchCardinalityThreshold,
         sketchRelativeError = config.sketchRelativeError))
     val (trainHist, foldHists) =
-      if (config.cv > 1) histogramKWithFolds(train, target, specs, config.cv, sketched)
+      if (config.cv > 1) histogramKWithFolds(train, target, specs, config.cv, sketched, Option(config.foldCol))
       else (histogramK(train, target, specs, sketched), Nil)
     val devHist = dev.map(d => histogramK(d, target, specs, sketched))
     fitFromHistograms(trainHist, devHist, target, specs, config, foldHists)

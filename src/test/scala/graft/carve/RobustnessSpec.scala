@@ -51,6 +51,35 @@ class RobustnessSpec extends SparkSuite {
     assert(m0.kept.head.prebinToBin == m5.kept.head.prebinToBin)
   }
 
+  test("user-supplied fold column replays an external assignment exactly") {
+    val specs = Seq(BinaryCarver.FeatureSpec("x", "quantitative"))
+    // materialize the hash assignment as a plain column: a fit reading it
+    // back via foldCol must see byte-identical fold histograms, proving an
+    // EXTERNAL (sklearn-style) assignment routes through unchanged
+    val withFold = df.withColumn("__fold", BinaryCarver.foldKeyExpr(specs, "y", 5))
+    val viaHash = BinaryCarver.histogramWithFolds(df, "y", specs, 5)
+    val viaCol = BinaryCarver.histogramWithFolds(withFold, "y", specs, 5, foldCol = Some("__fold"))
+    def canon(h: Seq[Map[String, Array[BinaryCarver.HistRow]]]) =
+      h.map(_.view.mapValues(_.sortBy(r => (r.dv, r.count)).toVector).toMap)
+    assert(canon(viaHash._2) == canon(viaCol._2))
+    // and a full fit through Config.foldCol matches the hash-cv fit
+    val mHash = BinaryCarver.fit(df, "y", specs, config = BinaryCarver.Config(cv = 5))
+    val mCol = BinaryCarver.fit(withFold, "y", specs,
+      config = BinaryCarver.Config(cv = 5, foldCol = "__fold"))
+    assert(mHash.kept.head.prebinToBin == mCol.kept.head.prebinToBin)
+    // a different external assignment is honored (id-round-robin), still fits
+    val rr = df.withColumn("__fold", pmod(col("id"), lit(5)))
+    val mRR = BinaryCarver.fit(rr, "y", specs,
+      config = BinaryCarver.Config(cv = 5, foldCol = "__fold"))
+    assert(mRR.kept.nonEmpty)
+    // out-of-range fold ids fail fast instead of corrupting fold views
+    val bad = df.withColumn("__fold", pmod(col("id"), lit(9)))
+    val e = intercept[Exception] {
+      BinaryCarver.fit(bad, "y", specs, config = BinaryCarver.Config(cv = 5, foldCol = "__fold"))
+    }
+    assert(e.getMessage.contains("outside [0, 5)"), e.getMessage)
+  }
+
   test("cv folds are single-pass: a cv=5 fit launches no more cluster jobs than cv=0") {
     // the fold key is one more groupBy column in the ONE histogram scan —
     // a cv=5 fit must not scan the table per fold (round-2 scale-killer)

@@ -54,9 +54,16 @@ def feature_labels(f):
     if getattr(f, "is_quantitative", False):
         out, lo = [], "-inf"
         for leader, grp in content.items():
-            hi = max(v for v in grp if isinstance(v, (int, float)))
+            nums = [v for v in grp if isinstance(v, (int, float))]
+            has_nan = any(isinstance(v, str) and v == "__NAN__" for v in grp)
+            if not nums:  # pure-NaN bin
+                out.append("__NAN__")
+                continue
+            hi = max(nums)
             hi_s = "+inf" if np.isinf(hi) else fmt_num(hi)
-            out.append(f"({lo}, {hi_s}]")
+            base = f"({lo}, {hi_s}]"
+            # engine quantLabelOf: a quantitative bin that absorbed NaN
+            out.append(base + " or __NAN__" if has_nan else base)
             if not np.isinf(hi):
                 lo = hi_s
         return out
@@ -278,6 +285,83 @@ oracle["q_stability"] = sql_values(srows,
      "chi2_significant", "chi2_v", "viable", "unstable"],
     ["VARCHAR", "DOUBLE", "VARCHAR", "DOUBLE", "DOUBLE", "BOOLEAN", "DOUBLE", "BOOLEAN", "BOOLEAN"])
 print("q_stability rows:", len(srows), "unstable:", sorted(unstable_set))
+
+# -------------------------------------------------------- q_carve_datetime
+# Datetime carve (T3 under hard oracle): ts2 = ts + floor(value) minutes
+# (NaT every 7th event) carved row-wise against ts; ts carved against the
+# fixed literal "2024-01-01". DECLARATION ORDER MATTERS in the reference:
+# cast_datetime_features (base_discretizer.py:715-733) converts IN PLACE in
+# feature order, so a reference column converted before its dependents
+# poisons the row-wise delta (floats re-coerced as epoch-nanoseconds). The
+# dependent is therefore declared FIRST — the sane, and engine-matching,
+# order.
+ev = pd.read_parquet(f"{SF}/events.parquet").sort_values("event_id").reset_index(drop=True)
+ts2 = (ev["ts"] + pd.to_timedelta(np.floor(ev["value"]) * 60, unit="s")).mask(ev["event_id"] % 7 == 0)
+y_dt = ((ev["ts"].dt.day > 15) | (ev["value"] > 200)).astype(int)
+Xdt = pd.DataFrame({"ts": ev["ts"], "ts2": ts2})
+dtc = AC.BinaryCarver(Features(datetimes=[("ts2", "ts"), ("ts", "2024-01-01")]),
+                      min_freq=0.02, max_n_mod=5)
+dtc.fit(Xdt.copy(), y_dt)
+rows = fit_rows(dtc, [f.name for f in dtc.features])
+oracle["q_carve_datetime"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "rate", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_datetime rows:", len(rows))
+
+# ---------------------------------------------------------- q_carve_rescue
+# Rescue-rare under hard oracle (combination_evaluator.py:507-516): a
+# dominant-mode categorical (source=='src1' → 'rare', 5.2% < half_min_freq)
+# fails the qualitative frequency check at min_freq=0.15; rescue_rare keeps
+# it and the min_freq-waived rerun accepts the 2-bin split because the
+# target signal holds on X_dev (docs 250+).
+from AutoCarver.discretizers import ProcessingConfig
+
+Xr = pd.DataFrame({"grp": np.where(docs["source"] == "src1", "rare", "common")})
+tr_mask = docs["doc_id"] < 250
+rc = AC.BinaryCarver(Features(categoricals=["grp"]), min_freq=0.15, max_n_mod=5,
+                     config=ProcessingConfig(rescue_rare=True))
+rc.fit(Xr[tr_mask].reset_index(drop=True), y_bin[tr_mask].reset_index(drop=True),
+       X_dev=Xr[~tr_mask].reset_index(drop=True), y_dev=y_bin[~tr_mask].reset_index(drop=True))
+rows = fit_rows(rc, [f.name for f in rc.features])
+assert rows, "rescue fixture degenerated: feature dropped"
+oracle["q_carve_rescue"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "rate", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_rescue rows:", len(rows))
+
+# --------------------------------------------------------- q_carve_foldcol
+# External fold assignment replayed through check_cv (base_carver.py:607-628):
+# folds are doc_id % 3 passed as an iterable of (train_idx, test_idx) pairs —
+# the engine replays the SAME assignment via Config.foldCol. Pins both the
+# fold plumbing and the per-fold veto (lang drops under these folds).
+fold = (docs["doc_id"] % 3).to_numpy()
+cv_pairs = [(np.where(fold != k)[0], np.where(fold == k)[0]) for k in range(3)]
+Xf = docs[["n_chars", "lang"]].copy(); Xf["n_chars"] = Xf["n_chars"].astype(float)
+fc = AC.BinaryCarver(Features(categoricals=["lang"], numericals=["n_chars"]),
+                     min_freq=0.02, max_n_mod=5)
+fc.fit(Xf.copy(), y_bin, cv=cv_pairs)
+rows = fit_rows(fc, [f.name for f in fc.features])
+oracle["q_carve_foldcol"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "rate", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_foldcol rows:", len(rows), "dropped:", [f.name for f in fc.dropped_features])
+
+# -------------------------------------------------------- q_carve_fit_sf01
+# The q_carve_fit config re-executed on the 10× table (sf0.1, 5000 docs):
+# catches quantile-edge/tie flips the 500-row fixtures cannot see
+# (SURVEY §7.4 risk).
+SF01 = "/root/testdata/sf0.1"
+docs01 = pd.read_parquet(f"{SF01}/documents.parquet").sort_values("doc_id").reset_index(drop=True)
+y01 = (docs01["n_chars"] > 300).astype(int)
+X01 = docs01[["n_chars", "lang", "source"]].copy(); X01["n_chars"] = X01["n_chars"].astype(float)
+b01 = AC.BinaryCarver(Features(categoricals=["lang", "source"], numericals=["n_chars"]),
+                      min_freq=0.02, max_n_mod=5)
+b01.fit(X01.copy(), y01)
+rows = fit_rows(b01, [f.name for f in b01.features])
+oracle["q_carve_fit_sf01"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "rate", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_fit_sf01 rows:", len(rows))
 
 json.dump(oracle, open(OUT, "w"), indent=1)
 print("wrote", OUT, "entries:", list(oracle))

@@ -304,7 +304,28 @@ def install():
         pass
 
     def check_cv(cv=5, y=None, classifier=False):
-        raise NotImplementedError("scishim: CV not supported in fixture generation")
+        # sklearn semantics for the cases fixture generation needs: a
+        # cross-validator passes through; an iterable of (train_idx,
+        # test_idx) pairs is wrapped as-is (sklearn's _CVIterableWrapper).
+        # Integer cv (KFold/StratifiedKFold construction) is NOT re-derived
+        # here -- a subtly-off stratification would silently corrupt
+        # fixtures; pass explicit index pairs instead.
+        if isinstance(cv, BaseCrossValidator) or hasattr(cv, "split"):
+            return cv
+        if isinstance(cv, int):
+            raise NotImplementedError(
+                "scishim: integer cv not supported; pass an iterable of (train_idx, test_idx) pairs")
+        pairs = [(np.asarray(a), np.asarray(b)) for a, b in cv]
+
+        class _CVIterableWrapper(BaseCrossValidator):
+            def split(self, X=None, y=None, groups=None):
+                for train, test in pairs:
+                    yield train, test
+
+            def get_n_splits(self, X=None, y=None, groups=None):
+                return len(pairs)
+
+        return _CVIterableWrapper()
 
     msel.BaseCrossValidator = BaseCrossValidator
     msel.check_cv = check_cv
