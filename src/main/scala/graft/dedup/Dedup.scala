@@ -100,8 +100,56 @@ object Dedup {
     */
   def shingleHashes(text: String, k: Int): Iterator[Long] = {
     val t = if (text == null) "" else text.toLowerCase.trim
-    if (t.length < k) Iterator.empty
-    else (0 to t.length - k).iterator.map(i => fnv1a(t.substring(i, i + k))).toSet.iterator
+    val nWin = t.length - k + 1
+    if (nWin <= 0) return Iterator.empty
+    // distinct hashes via an open-addressed PRIMITIVE long set (0L = empty
+    // slot, tracked separately): this is the hottest scan of the dedup
+    // family, and the previous `substring -> fnv1a -> toSet` allocated a
+    // window substring plus a boxed Long per window. Capacity = next pow2
+    // >= 2*windows keeps load factor <= 0.5 with no resize. The window hash
+    // itself reads code points straight off the parent string ([[fnvWindow]])
+    // — no substring either.
+    var cap = 4
+    while (cap < nWin * 2) cap <<= 1
+    val keys = new Array[Long](cap)
+    val mask = cap - 1
+    var hasZero = false
+    var i = 0
+    while (i < nWin) {
+      val h = fnvWindow(t, i, i + k)
+      if (h == 0L) hasZero = true
+      else {
+        var idx = ((h ^ (h >>> 32)).toInt & mask)
+        while (keys(idx) != 0L && keys(idx) != h) idx = (idx + 1) & mask
+        keys(idx) = h
+      }
+      i += 1
+    }
+    val nonZero = keys.iterator.filter(_ != 0L)
+    if (hasZero) Iterator.single(0L) ++ nonZero else nonZero
+  }
+
+  /** FNV-1a of the code points in `s[start, end)` — exactly
+    * `fnv1a(s.substring(start, end))` (a surrogate pair cut by the window
+    * boundary hashes as the lone surrogate, as the substring would) without
+    * materializing the substring.
+    */
+  private[dedup] def fnvWindow(s: String, start: Int, end: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var j = start
+    while (j < end) {
+      val c = s.charAt(j)
+      var cp: Int = c
+      var step = 1
+      if (Character.isHighSurrogate(c) && j + 1 < end) {
+        val c2 = s.charAt(j + 1)
+        if (Character.isLowSurrogate(c2)) { cp = Character.toCodePoint(c, c2); step = 2 }
+      }
+      h ^= cp.toLong
+      h *= 0x100000001b3L
+      j += step
+    }
+    h
   }
 
   /** Add a `minhash` column: Array[Long] signature from k-char shingles. */
@@ -382,28 +430,34 @@ object Dedup {
     // lineage MUST be cut every round: `labels` feeds the next iteration
     // twice (join + union), so without truncation the logical plan doubles
     // per round — 2^iter leaves; observed as a 2 GB plan string and an
-    // analyzer death spiral at iteration ~20. `localCheckpoint(eager)`
-    // materializes the round and restarts the plan from the cached blocks
-    // (a production run over unreliable executors would use
-    // `checkpoint` with a reliable dir — same shape, durable blocks).
+    // analyzer death spiral at iteration ~20. The cut is
+    // `localCheckpoint(eager)` by default (executor-local blocks — right
+    // for local mode and fast clusters), but on a real multi-executor run a
+    // lost executor late in a multi-round job would kill the whole
+    // iteration; setting `spark.graft.cc.checkpointDir` routes every
+    // per-round cut through a RELIABLE `checkpoint()` into that directory
+    // (HDFS/S3 path on a cluster) so the iteration state survives executor
+    // loss. Same plan shape either way.
     val spark = nodes.sparkSession
+    val durableDir = spark.conf.getOption("spark.graft.cc.checkpointDir").filter(_.nonEmpty)
+    durableDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (durableDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     // both edge directions from ONE pass over `pairs` (a union of two
     // selects would evaluate the upstream pair-generation subplan — at
     // near-dup scale, the whole LSH pipeline — twice in the same job)
-    val edges = pairs.select(explode(array(
+    val edges = cut(pairs.select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src"), col("e.dst"))
-      .localCheckpoint(true)
+      .select(col("e.src"), col("e.dst")))
     // Iterate on the EDGE-INDUCED subgraph only: every node outside it is
     // its own component and needs no propagation. In a near-dup graph the
     // edge endpoints are a (often small) fraction of the corpus, so each
     // round's joins/aggregations are sized by the duplicate clusters, not
     // by |corpus| — singletons rejoin once at the end (one outer join)
     // instead of riding every iteration.
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")))
     var iter = 0
     var changed = 1L
     while (iter < maxIter && changed > 0) {
@@ -429,9 +483,8 @@ object Dedup {
       // materialized once per round; the jump side re-wraps the SAME cached
       // blocks with fresh attribute ids (self-joins of one plan trip the
       // analyzer's attribute dedup)
-      val hop = msgs.groupBy("id")
-        .agg(min("component").as("component"), max("own").as("old"))
-        .localCheckpoint(true)
+      val hop = cut(msgs.groupBy("id")
+        .agg(min("component").as("component"), max("own").as("old")))
       val hopCopy = hop.sparkSession.createDataFrame(hop.rdd, hop.schema)
       // type-agnostic change detection: the null-safe comparison happens in
       // a column expression (works for any id type), and only a BOOLEAN
@@ -444,14 +497,13 @@ object Dedup {
       // component ids ARE node ids, so one extra join per round turns
       // O(diameter) convergence into O(log diameter); long dup-chains
       // (serial near-identical crawl snapshots) stop dominating rounds
-      val next = hop
+      val next = cut(hop
         .join(hopCopy.select(col("id").as("pid"), col("component").as("pcomp")),
           hop("component") === col("pid"), "left")
         .select(hop("id").as("id"),
           coalesce(col("pcomp"), hop("component")).as("component"), col("old"))
         .filter(tick(!(col("component") <=> col("old"))))
-        .select(col("id"), col("component"))
-        .localCheckpoint(true)
+        .select(col("id"), col("component")))
       changed = acc.value
       labels = next
       iter += 1

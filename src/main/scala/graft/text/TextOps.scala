@@ -5,9 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a web-scale training-data pipeline:
   * token counting, quality scoring, language-ID heuristic, document
-  * fingerprinting. All are built from codegen'd `functions._` expressions
-  * (no Scala UDF in the hot path except langId, which is a pure
-  * per-row scorer) so they pipeline inside a single scan stage.
+  * fingerprinting. All are built from codegen'd expressions — builtin
+  * `functions._` plus the custom [[graft.transform.TokenCount]] /
+  * [[graft.transform.LangId]] / [[graft.transform.Fnv1aFingerprint]]
+  * scans; NO Scala UDF anywhere — so they pipeline inside a single
+  * whole-stage-codegen'd scan stage.
   */
 object TextOps {
 
@@ -103,10 +105,13 @@ object TextOps {
     best
   }
 
-  def langId(text: Column): Column = {
-    val f = udf((s: String) => langIdOf(s))
-    f(text)
-  }
+  /** Column form: a codegen'd single-scan expression
+    * ([[graft.transform.LangId]]) with byte-wise marker matching — no UDF,
+    * no regex split, no token array. `coalesce` keeps the UDF-era contract
+    * that a null text scores "und" (langIdOf(null) == "und").
+    */
+  def langId(text: Column): Column =
+    coalesce(graft.transform.LangId.column(text), lit("und"))
 
   /** Character n-grams (shingles) of the normalized text; the near-dup
     * building block. Column-expressed via transform over a 0..len-k index

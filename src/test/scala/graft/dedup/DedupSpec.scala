@@ -172,6 +172,36 @@ class DedupSpec extends SparkSuite {
     assert(pairs.count() >= 0)
   }
 
+  test("primitive shingle set matches the substring+toSet formulation (unicode included)") {
+    val texts = Seq("the quick brown fox jumps", "aaaaaaaa", "ab", "", null,
+      "emoji 😀😁 mixed 😀 text", "ümläut tõkens",
+      "x😀y") // surrogate pair cut by a window boundary
+    for (t <- texts; k <- Seq(2, 5)) {
+      val got = Dedup.shingleHashes(t, k).toVector.sorted
+      val tt = if (t == null) "" else t.toLowerCase.trim
+      val want =
+        if (tt.length < k) Vector.empty[Long]
+        else (0 to tt.length - k).map(i => Dedup.fnv1a(tt.substring(i, i + k))).toSet.toVector.sorted
+      assert(got == want, s"k=$k text=$t")
+    }
+  }
+
+  test("connectedComponents: durable checkpoint path completes with identical components") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    try {
+      val comp = Dedup.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L), comp.toString)
+      // the per-round cuts really went through the RELIABLE checkpoint dir
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).count()
+      assert(files > 1, "no reliable checkpoint data written")
+    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+  }
+
   test("connectedComponents is id-type generic: string (URL) keys converge, no silent cast") {
     import spark.implicits._
     // a URL-keyed corpus: chain a-b-c, pair d-e, singleton f. Before the

@@ -27,6 +27,33 @@ class TextOpsSpec extends SparkSuite {
     assert(out(1).isEmpty)
   }
 
+  test("LangId expression matches the reference scorer byte-for-byte (incl. ties, unicode, null)") {
+    val texts = Seq(
+      "the quick brown fox is on the run with all of this",
+      "der hund ist nicht mit der katze und dem vogel",
+      "le chat est pour la maison et les oiseaux des villes",
+      "el perro es una casa por que con los gatos para todos",
+      "il gatto non sono per una casa che del mare con te",
+      "o que os gatos para uma casa com mais dos pratos das",
+      "xyzzy plugh qwerty",              // no markers -> und
+      "", "   ", "\t\n",                 // blank -> und
+      "la la la",                        // shared marker (es/fr/it) -> tie, first sorted lang wins
+      "que con para",                    // es/pt overlap tie
+      "THE AND OF TO IS IT",             // case folding
+      "the  and\tof\nto",                // multi-separator
+      "emoji 😀 the and of to is it for with that this",
+      "ümläut the and of tōkens"
+    ) ++ Seq(null)
+    val df = texts.zipWithIndex.map { case (t, i) => (i, t) }.toDF("i", "t")
+    val got = df.select($"i", TextOps.langId($"t")).as[(Int, String)].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i) == TextOps.langIdOf(t), s"text='$t': got ${got(i)} want ${TextOps.langIdOf(t)}")
+    }
+    // and no UDF in the plan: the expression codegen-compiles
+    val plan = df.select(TextOps.langId($"t")).queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+  }
+
   test("quality score in [0,1] and favors clean prose") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and runs on through the field for a while today",
