@@ -16,6 +16,10 @@ run / fork := true
 run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 Compile / runMain / outputStrategy := Some(StdoutOutput)
+// graft.cli.Cli is a stdin-driven REPL: forward sbt's stdin to the fork
+run / connectInput := true
+Compile / run / connectInput := true
+Compile / runMain / connectInput := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
