@@ -46,12 +46,16 @@ object Bench {
     s
   }
 
-  /** fit+transform over the page table; returns processed row count. The
-    * transform leg aggregates the produced bin codes — a bare `count()`
+  /** fit+transform over the page table; returns (rows, fitSec, xformSec).
+    * The transform leg aggregates the produced bin codes — a bare `count()`
     * lets Catalyst prune the whole projection (and its window shuffles)
-    * down to a parquet row count, which would measure nothing.
+    * down to a parquet row count, which would measure nothing. The
+    * per-stage split feeds the scaling artifact: when a pair under-scales,
+    * the fit/transform attribution says WHICH stage lost ground
+    * (fit = histogram shuffle + driver DP serial tail; transform = pure
+    * scan-side projection that should scale near-linearly).
     */
-  def pipelineOnce(spark: SparkSession, table: String, asOf: Timestamp): Long = {
+  def pipelineOnce(spark: SparkSession, table: String, asOf: Timestamp): (Long, Double, Double) = {
     // fresh checkpoint namespace per run: throughput must measure the work
     val ckpt = java.nio.file.Paths.get(table, "checkpoints")
     if (java.nio.file.Files.exists(ckpt)) {
@@ -59,8 +63,9 @@ object Bench {
     }
     val t0 = System.nanoTime()
     val (model, _) = PagePipeline.fitCheckpointed(spark, table, asOf)
+    val fitSec = (System.nanoTime() - t0) / 1e9
     if (sys.env.contains("BENCH_DEBUG"))
-      System.err.println(f"[pipeline] fit-total    ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      System.err.println(f"[pipeline] fit-total    $fitSec%.2f s")
     val t1 = System.nanoTime()
     val out = PagePipeline.transform(spark, table, model)
     if (sys.env.contains("BENCH_DEBUG")) {
@@ -71,9 +76,10 @@ object Bench {
       org.apache.spark.sql.functions.col(f.name).cast("long")).as(s"${f.name}_sum"))
     val row = out.agg(org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("rows"), binSums: _*).head()
+    val xformSec = (System.nanoTime() - t1) / 1e9
     if (sys.env.contains("BENCH_DEBUG"))
-      System.err.println(f"[pipeline] transform    ${(System.nanoTime() - t1) / 1e9}%.2f s")
-    row.getLong(0)
+      System.err.println(f"[pipeline] transform    $xformSec%.2f s")
+    (row.getLong(0), fitSec, xformSec)
   }
 
   /** Idle cooldown before a measurement: this burstable host throttles
@@ -87,7 +93,9 @@ object Bench {
   /** Forked measurement: warm run (JIT+codegen) on the small shared warm
     * table, then the timed run on the main table.
     */
-  private def runForked(cores: Int, table: String, warmTable: String): Double = {
+  final case class ChildTimes(total: Double, fit: Double, xform: Double)
+
+  private def runForked(cores: Int, table: String, warmTable: String): ChildTimes = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val jvmArgs = _root_.java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.toArray.map(_.toString)
@@ -118,10 +126,10 @@ object Bench {
     val cp = System.getProperty("java.class.path")
     val cmd = Seq(javaBin) ++ jvmArgs ++ Seq("-XX:ActiveProcessorCount=8",
       "-cp", cp, "graft.BenchGen", nUrls.toString, table, warmTable)
-    runCmd(cmd, 8).toLong
+    runCmd(cmd, 8).total.toLong
   }
 
-  private def runCmd(cmd: Seq[String], cores: Int): Double = {
+  private def runCmd(cmd: Seq[String], cores: Int): ChildTimes = {
     if (sys.env.contains("BENCH_DEBUG")) System.err.println(s"[bench] fork: ${cmd.take(8).mkString(" ")} ...")
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
@@ -130,7 +138,11 @@ object Bench {
     proc.waitFor()
     if (sys.env.contains("BENCH_DEBUG")) System.err.println(s"[bench] child($cores) out tail:\n${out.takeRight(1500)}")
     out.linesIterator.find(_.startsWith("CHILD_RESULT ")) match {
-      case Some(line) => line.stripPrefix("CHILD_RESULT ").toDouble
+      case Some(line) =>
+        val parts = line.stripPrefix("CHILD_RESULT ").trim.split("\\s+")
+        ChildTimes(parts(0).toDouble,
+          if (parts.length > 1) parts(1).toDouble else Double.NaN,
+          if (parts.length > 2) parts(2).toDouble else Double.NaN)
       case None => throw new RuntimeException(s"bench child failed:\n${out.takeRight(2000)}")
     }
   }
@@ -173,7 +185,7 @@ object Bench {
     def measurePair(n1: Int, n4: Int, maxRounds: Int, coolNarrow: Int, coolWide: Int,
                     table: String, warmTable: String, totalRows: Long,
                     remaining: => Double, retakeRemaining: => Double): Option[String] = {
-      val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(ChildTimes, ChildTimes)]
       var round = 0
       var roundCost = Double.NaN
       while (round < maxRounds && (round == 0 || remaining > roundCost * 1.2 + 60.0)) {
@@ -200,24 +212,33 @@ object Bench {
       // enough budget that a retake never starves the query suite.
       var retake4n = Double.NaN
       val factor = n4.toDouble / n1.toDouble
-      val bestEff = samples.map { case (a, b) => a / b / factor }.max
+      val bestEff = samples.map { case (a, b) => a.total / b.total / factor }.max
       // retakeRemaining is the UNRESERVED budget: the ≥0.8 gate on this
       // pair outranks any later optional work (a reserved-budget guard here
       // once starved the retake and shipped a 0.79 artifact)
       if (bestEff < 0.85 && retakeRemaining > 120.0) {
         cooldown(12, retakeRemaining, 70.0)
-        retake4n = runForked(n4, table, warmTable)
+        val rt = runForked(n4, table, warmTable)
+        retake4n = rt.total
         val (a0, b0) = samples.last
-        samples(samples.length - 1) = (a0, math.min(b0, retake4n))
+        samples(samples.length - 1) = (a0, if (rt.total < b0.total) rt else b0)
       }
-      val perRound = samples.toSeq.map { case (a, b) => (a, b, a / b / factor) }
-      val (tN, t4N, efficiency) = perRound.maxBy(_._3)
+      val perRound = samples.toSeq.map { case (a, b) => (a, b, a.total / b.total / factor) }
+      val (cN, c4N, efficiency) = perRound.maxBy(_._3)
+      val (tN, t4N) = (cN.total, c4N.total)
       // values are rounded at the source (ms / 4-decimal efficiency — both
       // far below host noise): the driver archives a 2000-char stdout TAIL,
       // and full-precision doubles once pushed the line past it, truncating
-      // 17 of 48 query timings out of the round artifact
+      // 17 of 48 query timings out of the round artifact. Each round carries
+      // the fit/transform attribution: when a pair under-scales, the stage
+      // efficiencies say whether the scan-side transform (should be ~linear)
+      // or the fit (histogram shuffle + serial DP tail) lost ground.
       val roundsJson = perRound.map { case (a, b, e) =>
-        s"""{"sec_n":${r3(a)},"sec_4n":${r3(b)},"efficiency":${r4(e)}}"""
+        val stages =
+          if (a.fit.isNaN || b.fit.isNaN) ""
+          else s""","fit_n":${r3(a.fit)},"xform_n":${r3(a.xform)},"fit_4n":${r3(b.fit)},"xform_4n":${r3(b.xform)},""" +
+            s""""fit_eff":${r4(a.fit / b.fit / factor)},"xform_eff":${r4(a.xform / b.xform / factor)}"""
+        s"""{"sec_n":${r3(a.total)},"sec_4n":${r3(b.total)},"efficiency":${r4(e)}$stages}"""
       }.mkString("[", ",", "]")
       val retakeJson = if (retake4n.isNaN) "" else s""""retake_4n":${r3(retake4n)},"""
       Some(s"""{"n_cores":$n1,"n4_cores":$n4,"rows":$totalRows,$retakeJson""" +
@@ -378,8 +399,8 @@ object BenchChild {
       // cost independent of the measured size, identical for both children
       Bench.pipelineOnce(s, warmTable, asOf)
       val t0 = System.nanoTime()
-      Bench.pipelineOnce(s, table, asOf)
-      println(s"CHILD_RESULT ${(System.nanoTime() - t0) / 1e9}")
+      val (_, fitSec, xformSec) = Bench.pipelineOnce(s, table, asOf)
+      println(s"CHILD_RESULT ${(System.nanoTime() - t0) / 1e9} $fitSec $xformSec")
     } finally s.stop()
   }
 }
