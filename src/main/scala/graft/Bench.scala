@@ -349,10 +349,24 @@ object Bench {
       if (sys.env.contains("SPARK_GRAFT_SKIP_QUERIES")) Map.empty[String, Double]
       else {
         val spark0 = session(math.min(cpus, 8))
-        // session warmup: without it the alphabetically-first query absorbs
-        // ~4 s of scan/codegen/JIT cost and its number stops meaning anything
-        try graft.tables.Tables.documents(spark0, sfDir).count()
-        catch { case _: Throwable => () }
+        // session warmup: touch EVERY input table once (file listing,
+        // parquet footers, codegen/JIT) — under the sorted execution order
+        // the first query per table otherwise absorbs that first-scan cost
+        // and its number stops meaning anything (idle-host r5 retake:
+        // q1_agg read 1.25 s with only `documents` warmed vs 0.44 s in the
+        // unsorted r3 suite where another lineitem query ran first)
+        // max() over every column, NOT count(): a parquet count() answers
+        // from footer metadata and leaves the data pages cold
+        Seq("documents", "events", "embeddings", "lineitem", "orders", "customer").foreach { t =>
+          try {
+            val df = graft.tables.Tables.load(spark0, sfDir, t)
+            val aggs = df.schema.fields.map(f =>
+              org.apache.spark.sql.functions.max(
+                org.apache.spark.sql.functions.col(f.name).cast("string")))
+            df.agg(aggs.head, aggs.tail: _*).head()
+            ()
+          } catch { case _: Throwable => () }
+        }
         val acc = scala.collection.mutable.LinkedHashMap.empty[String, Double]
         // near-deterministic order + a floor sized to the real per-query
         // cost (almost all <5 s): a 30 s floor once cut 6 queries from the
