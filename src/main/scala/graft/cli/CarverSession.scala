@@ -8,8 +8,8 @@ import org.apache.spark.sql.types._
 import org.json4s._
 import org.json4s.JsonDSL._
 
-import graft.carve.{BinaryCarver, ContinuousCarver, DatetimeFeatures, MulticlassCarver,
-  OneVsRestCarver, OrdinalCarver, RefJson}
+import graft.carve.{BinaryCarver, ContinuousCarver, DatetimeFeatures, LlmQualifier,
+  MulticlassCarver, OneVsRestCarver, OrdinalCarver, RefJson}
 import graft.stability.Stability
 
 /** The reference MCP server's qualify-and-carve workflow (S4,
@@ -249,31 +249,11 @@ final class CarverSession(spark: SparkSession) {
   /** Builds FeatureSpecs from the draft; datetime columns are converted to
     * seconds-since-reference first (dependents before their reference
     * columns, in draft order — the reference's in-place conversion order).
+    * Routing is the shared single source of truth with the LLM qualifier
+    * (the reference shares `specs_to_features_kwargs` the same way).
     */
-  private def prepared(df: DataFrame): (DataFrame, Seq[BinaryCarver.FeatureSpec]) = {
-    val dtSpecs = draft.collect { case (name, spec) if str(spec \ "type") == "datetime" =>
-      DatetimeFeatures.DatetimeSpec(name, str(spec \ "reference"))
-    }.toSeq
-    val converted = if (dtSpecs.isEmpty) df else DatetimeFeatures.withTimedeltas(df, dtSpecs)
-    val specs = draft.collect {
-      case (name, spec) if str(spec \ "type") != "ignore" =>
-        str(spec \ "type") match {
-          case "numerical" | "datetime" => BinaryCarver.FeatureSpec(name, "quantitative")
-          case "ordinal" =>
-            val order = (spec \ "values") match {
-              case JArray(vs) => vs.map(str); case _ => Nil
-            }
-            BinaryCarver.FeatureSpec(name, "ordinal", ordinalOrder = order)
-          case "nested" =>
-            val ps = (spec \ "parents") match {
-              case JArray(vs) => vs.map(str); case _ => Nil
-            }
-            BinaryCarver.FeatureSpec(name, "nested", parents = ps)
-          case _ => BinaryCarver.FeatureSpec(name, "categorical")
-        }
-    }.toSeq
-    (converted, specs)
-  }
+  private def prepared(df: DataFrame): (DataFrame, Seq[BinaryCarver.FeatureSpec]) =
+    LlmQualifier.route(draft.toList.map { case (k, v) => k -> (v: JValue) }).prepare(df)
 
   /** `auto` resolution — the reference's rule (`mcp/session.py:212-227`):
     * 2 distinct target values → binary; float dtype with >10 distinct →
