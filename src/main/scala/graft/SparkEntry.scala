@@ -103,6 +103,21 @@ object SparkEntry {
           unix_micros(col("matched_ts").cast("timestamp")).as("matched_us")
         )
     }),
+    // E5 oracle: the leakage guard every fit path routes through — rows at
+    // or before the as-of cutoff only
+    "q_leakage_guard" -> ((s, dir) => {
+      Temporal
+        .leakageGuard(
+          Tables.events(s, dir).withColumn("ts", col("ts").cast("timestamp")),
+          "ts", java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+    }),
+    // E7 oracle: exact hot-key detection (sampleFraction=1.0 — the
+    // production path samples; exactness makes it DuckDB-checkable)
+    "q_hot_keys" -> ((s, dir) =>
+      Temporal.hotKeysFrame(Tables.events(s, dir), "user_id",
+        shareThreshold = 0.008, sampleFraction = 1.0)),
     "q_tumbling" -> ((s, dir) => {
       Tables.events(s, dir)
         .groupBy(
@@ -783,6 +798,13 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT user_id, ts AS bts, max(value) AS bvalue
                          FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) b
          ON p.user_id = b.user_id AND p.ts >= b.bts""",
+    "q_leakage_guard" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+         FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'""",
+    "q_hot_keys" ->
+      """SELECT CAST(user_id AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS n
+         FROM events GROUP BY 1
+         HAVING count(*) > (SELECT count(*) FROM events) * 0.008""",
     "q_tumbling" ->
       """SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
          count(*) AS n, CAST(SUM(CAST(round(value*100,0) AS BIGINT)) AS BIGINT) AS value_c

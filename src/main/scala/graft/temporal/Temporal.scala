@@ -180,16 +180,24 @@ object Temporal {
 
   /** Hot-key detection via sampling: keys whose sampled share exceeds
     * `shareThreshold` (the candidates for salting / broadcast isolation).
+    * Frame variant — `sampleFraction = 1.0` makes it exact (the oracle
+    * path); the sampled default keeps the scan cheap at 100 TB.
     */
-  def hotKeys(df: DataFrame, keyCol: String, shareThreshold: Double = 0.01, sampleFraction: Double = 0.05): Seq[(String, Long)] = {
-    val sampled = df.sample(withReplacement = false, sampleFraction, seed = 42L)
+  def hotKeysFrame(df: DataFrame, keyCol: String, shareThreshold: Double = 0.01,
+      sampleFraction: Double = 0.05): DataFrame = {
+    val sampled =
+      if (sampleFraction >= 1.0) df
+      else df.sample(withReplacement = false, sampleFraction, seed = 42L)
     val total = math.max(sampled.count(), 1L)
     sampled.groupBy(col(keyCol).cast("string").as("k"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") > (lit(total) * shareThreshold))
-      .orderBy(col("n").desc)
+      .orderBy(col("n").desc, col("k"))
+  }
+
+  def hotKeys(df: DataFrame, keyCol: String, shareThreshold: Double = 0.01, sampleFraction: Double = 0.05): Seq[(String, Long)] =
+    hotKeysFrame(df, keyCol, shareThreshold, sampleFraction)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
       .toSeq
-  }
 }
