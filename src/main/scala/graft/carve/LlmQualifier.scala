@@ -66,10 +66,15 @@ object LlmQualifier {
     require(fields.nonEmpty, "[qualify] the frame has no columns to qualify")
     val acdAggs = fields.map(f => approx_count_distinct(col(f.name)).as(s"${f.name}__acd"))
     val acdRow = df.agg(acdAggs.head, acdAggs.tail: _*).head()
-    // binary payloads would render as raw bytes — show base64 instead
+    // binary payloads would render as raw bytes — show base64 instead;
+    // complex types (maps are not orderable, so neither collect_set nor
+    // sort_array accepts them) go through their JSON rendering
     val sampleAggs = fields.map { f =>
       val c = f.dataType match {
         case BinaryType => base64(col(f.name))
+        case _: org.apache.spark.sql.types.StructType |
+             _: org.apache.spark.sql.types.MapType |
+             _: org.apache.spark.sql.types.ArrayType => to_json(col(f.name))
         case _ => col(f.name).cast("string")
       }
       slice(sort_array(collect_set(c)), 1, sampleSize).as(s"${f.name}__sample")

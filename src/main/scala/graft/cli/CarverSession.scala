@@ -244,8 +244,6 @@ final class CarverSession(spark: SparkSession) {
 
   // ---------------------------------------------------------------- carving
 
-  private def str(j: JValue): String = j match { case JString(s) => s; case _ => "" }
-
   /** Builds FeatureSpecs from the draft; datetime columns are converted to
     * seconds-since-reference first (dependents before their reference
     * columns, in draft order — the reference's in-place conversion order).
