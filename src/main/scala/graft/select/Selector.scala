@@ -380,7 +380,42 @@ object Selector {
     else 0.0 // mixed-kind redundancy not filtered (matches reference split by type)
   }
 
-  final case class Selection(kept: Vector[FeatureRank], dropped: Vector[(FeatureRank, String)])
+  /** One row of the uniform per-feature ranking table — the reference's
+    * `selectors/utils/pretty_print.py:44-78` `format_ranked_features`:
+    * gate values keep a column each, the ranking measure and redundancy
+    * filter are NAMED in `measure`/`filter` columns (so qualitative and
+    * quantitative branches concatenate into one non-ragged frame), `rank`
+    * is the per-kind association rank among gate survivors (None when
+    * gated out, like the reference's NaN), `filteredWith` names the
+    * already-kept feature a redundancy drop correlated with.
+    */
+  final case class ReportRow(
+      feature: String,
+      kind: String,
+      nanFreq: Double,
+      modeFreq: Double,
+      measure: String,
+      association: Double,
+      rank: Option[Int],
+      filter: Option[String],
+      redundancy: Option[Double],
+      filteredWith: Option[String],
+      kept: Boolean,
+      reason: String)
+
+  final case class Selection(kept: Vector[FeatureRank], dropped: Vector[(FeatureRank, String)],
+      report: Vector[ReportRow] = Vector.empty) {
+
+    /** The ranking table as a frame, sorted by rank ascending with gated-out
+      * features last (`pretty_print.py:76-77`).
+      */
+    def reportFrame(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      report.sortBy(r => (r.rank.getOrElse(Int.MaxValue), r.feature))
+        .toDF("feature", "kind", "nan_freq", "mode_freq", "measure", "association",
+          "rank", "filter", "redundancy", "filtered_with", "kept", "reason")
+    }
+  }
 
   /** Best-first selection (`selectors/filters`): gate, rank by association
     * desc, walk best-first dropping any feature too associated with an
@@ -414,17 +449,19 @@ object Selector {
       task: String,
       config: Config = Config()
   ): Selection = {
-    val overrides: Map[String, Double] = task match {
+    val (overrides: Map[String, Double], names: Map[String, String]) = task match {
       case "classification" =>
-        kruskalByFeature(df, target, quants).view.mapValues(_.etaSq).toMap ++
-          tschuprowtByFeature(df, target, quals)
+        (kruskalByFeature(df, target, quants).view.mapValues(_.etaSq).toMap ++
+          tschuprowtByFeature(df, target, quals),
+          Map("quantitative" -> "Kruskal", "categorical" -> "TschuprowT"))
       case "regression" | "ordinal" =>
-        spearmanByFeature(df, target, quants).view.mapValues(math.abs(_)).toMap ++
-          kruskalReversedByFeature(df, target, quals).view.mapValues(_.etaSq).toMap
+        (spearmanByFeature(df, target, quants).view.mapValues(math.abs(_)).toMap ++
+          kruskalReversedByFeature(df, target, quals).view.mapValues(_.etaSq).toMap,
+          Map("quantitative" -> "Spearman", "categorical" -> "KruskalReversed"))
       case other => throw new IllegalArgumentException(
         s"unknown task '$other' (classification | regression | ordinal)")
     }
-    selectWith(df, target, quants, quals, config, overrides)
+    selectWith(df, target, quants, quals, config, overrides, names)
   }
 
   /** Tschuprow's T per qualitative feature vs the target (classification
@@ -497,7 +534,11 @@ object Selector {
       quants: Seq[String],
       quals: Seq[String],
       config: Config,
-      assocOverride: Map[String, Double]
+      assocOverride: Map[String, Double],
+      // ranking-measure display names per kind (the report's `measure`
+      // column — reference strips the "Measure" suffix the same way)
+      measureNames: Map[String, String] = Map(
+        "quantitative" -> "Pearson", "categorical" -> "CramerV")
   ): Selection = {
     val metrics = (quantitativeMetrics(df, target, quants) ++ qualitativeMetrics(df, target, quals))
       .values.toVector
@@ -535,6 +576,8 @@ object Selector {
     }
     val ranked = gated.sortBy(m => (-nz(m.association), m.name))
     val kept = mutable.ArrayBuffer.empty[FeatureRank]
+    // redundancy drops keep their (correlated-with, value) for the report
+    val redundancyInfo = mutable.Map.empty[String, (String, Double)]
     ranked.foreach { m =>
       val perKind = kept.count(_.kind == m.kind)
       if (perKind >= budgets.getOrElse(m.kind, config.nBest)) dropped += ((m, "budget"))
@@ -542,12 +585,30 @@ object Selector {
         val redundantWith = kept.find(k =>
           k.kind == m.kind && assoc.getOrElse((k.name, m.name), 0.0) > config.redundancyThreshold)
         redundantWith match {
-          case Some(k) => dropped += ((m, s"redundant_with=${k.name}"))
+          case Some(k) =>
+            dropped += ((m, s"redundant_with=${k.name}"))
+            redundancyInfo(m.name) = (k.name, assoc.getOrElse((k.name, m.name), 0.0))
           case None => kept += m
         }
       }
     }
-    Selection(kept.toVector, dropped.result())
+    val droppedV = dropped.result()
+    // uniform ranking table (reference format_ranked_features): every
+    // feature keeps its gate values; per-kind association rank among gate
+    // survivors; gated-out features have no rank
+    val reasonOf = droppedV.map { case (m, r) => m.name -> r }.toMap
+    val rankOf: Map[String, Int] = ranked.groupBy(_.kind).flatMap { case (_, ms) =>
+      ms.zipWithIndex.map { case (m, i) => m.name -> (i + 1) }
+    }
+    val report = metrics.map { m =>
+      val red = redundancyInfo.get(m.name)
+      ReportRow(m.name, m.kind, m.nanFreq, m.modeFreq,
+        measureNames.getOrElse(m.kind, ""), m.association,
+        rankOf.get(m.name),
+        red.map(_ => "Redundancy"), red.map(_._2), red.map(_._1),
+        kept = !reasonOf.contains(m.name), reason = reasonOf.getOrElse(m.name, ""))
+    }
+    Selection(kept.toVector, droppedV, report)
   }
 
   private def nz(d: Double): Double = if (d.isNaN) Double.NegativeInfinity else d

@@ -35,6 +35,36 @@ class SelectorSpec extends SparkSuite {
     }, sel.dropped.toString)
   }
 
+  test("ranked report mirrors format_ranked_features (uniform frame, ranks, redundancy)") {
+    val sel = Selector.select(df, "y",
+      quants = Seq("signal", "copy", "noise", "constant"), quals = Seq("cat"),
+      config = Selector.Config(nBest = 2))
+    val rows = sel.report
+    assert(rows.map(_.feature).toSet == Set("signal", "copy", "noise", "constant", "cat"))
+    // gate-dropped features keep their gate values but carry no rank
+    val const = rows.find(_.feature == "constant").get
+    assert(const.rank.isEmpty && !const.kept && const.reason == "constant")
+    // the redundancy drop is NAMED with its correlated-with feature + value
+    val red = rows.find(r => Set("signal", "copy")(r.feature) && !r.kept).get
+    assert(red.filter.contains("Redundancy"), red.toString)
+    assert(red.filteredWith.exists(Set("signal", "copy")), red.toString)
+    assert(red.redundancy.exists(_ > 0.9), red.toString)
+    // per-kind ranks are 1..n over gate survivors
+    val quantRanks = rows.filter(r => r.kind == "quantitative" && r.rank.nonEmpty).flatMap(_.rank)
+    assert(quantRanks.sorted == (1 to quantRanks.length).toVector, quantRanks.toString)
+    assert(rows.find(_.feature == "cat").get.measure == "CramerV")
+    // the frame sorts by rank with unranked last and carries snake_case cols
+    val frame = sel.reportFrame(spark)
+    assert(frame.columns.toSeq == Seq("feature", "kind", "nan_freq", "mode_freq", "measure",
+      "association", "rank", "filter", "redundancy", "filtered_with", "kept", "reason"))
+    val ordered = frame.select("feature").collect().map(_.getString(0))
+    assert(ordered.last == "constant", ordered.mkString(","))
+    // task presets rename the measure column
+    val clsSel = Selector.selectTask(df, "y", Seq("signal", "noise"), Seq("cat"), "classification")
+    assert(clsSel.report.find(_.feature == "signal").get.measure == "Kruskal")
+    assert(clsSel.report.find(_.feature == "cat").get.measure == "TschuprowT")
+  }
+
   test("qualitative metrics: associated categorical beats noise categorical") {
     val withSignalCat = df.withColumn("cat_sig", concat(lit("s"), col("y").cast("string")))
     val sel = Selector.select(withSignalCat, "y", quants = Nil,
