@@ -311,6 +311,48 @@ object SparkEntry {
       m.transform(Tables.documents(s, dir).withColumn("y", docLabel), keepOriginal = true)
         .select(col("doc_id") +: m.kept.map(f => col(s"${f.name}_bin")): _*)
     }),
+    // S1+T2 oracle: the input audit frame — schema validation, kind
+    // detection, and per-feature null/distinct profile over the fit's own
+    // long-form encoding
+    "q_input_audit" -> ((s, dir) => {
+      import graft.carve.BinaryCarver
+      val df = Tables.documents(s, dir).withColumn("y", docLabel)
+      BinaryCarver.auditFrame(df, "y", Seq(
+        BinaryCarver.FeatureSpec("n_chars", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical"),
+        BinaryCarver.FeatureSpec("source", "categorical")
+      ))
+    }),
+    // P7 oracle: the frequency sanity gate — mode count vs the
+    // [minFreq, 1-minFreq] band, through the fit histogram pass and the
+    // gate's own decision math
+    "q_freq_gate" -> ((s, dir) => {
+      import graft.carve.{BinaryCarver, Prebin}
+      val df = Tables.documents(s, dir).withColumn("y", docLabel)
+      val specs = Seq(
+        BinaryCarver.FeatureSpec("lang", "categorical"),
+        BinaryCarver.FeatureSpec("source", "categorical"))
+      val hist = BinaryCarver.histogram(df, "y", specs)
+      val rows = specs.map { sp =>
+        val h = hist(sp.name)
+        val total = h.map(_.count).sum
+        val maxCnt = h.map(_.count).max
+        val (tooCommon, nonCommon) = Prebin.gateStatus(maxCnt.toDouble / total, minFreq = 0.02)
+        (sp.name, maxCnt, total, tooCommon, nonCommon)
+      }
+      import s.implicits._
+      rows.toDF("feature", "max_cnt", "n", "too_common", "non_common")
+    }),
+    // X5 oracle: check_values — fit without 'zh' docs, then list the values
+    // transform(checkValues=true) would raise on over the full table
+    "q_unexpected_values" -> ((s, dir) => {
+      import graft.carve.BinaryCarver
+      val docs = Tables.documents(s, dir)
+      val m = BinaryCarver.fit(
+        docs.filter(col("lang") =!= "zh").withColumn("y", docLabel),
+        "y", Seq(BinaryCarver.FeatureSpec("lang", "categorical")))
+      m.unexpectedValues(docs)
+    }),
     "q_carve_continuous" -> ((s, dir) => {
       import graft.carve.{BinaryCarver, ContinuousCarver}
       // continuous target: token count (deterministic content signal)
@@ -993,6 +1035,36 @@ object SparkEntry {
          SELECT p.id, coalesce(m.bucket,
            CASE WHEN p.source IN (SELECT fb FROM leaders) THEN p.source ELSE '__OTHER__' END) AS bucket
          FROM planted p LEFT JOIN map m ON p.fine = m.raw""",
+    "q_input_audit" ->
+      """SELECT 'lang' AS feature, 'categorical' AS kind, 'categorical' AS detected_kind,
+                CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT) AS n_null,
+                CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct
+         FROM documents
+         UNION ALL
+         SELECT 'source', 'categorical', 'categorical',
+                CAST(count(*) FILTER (WHERE source IS NULL) AS BIGINT),
+                CAST(count(DISTINCT source) AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT 'n_chars', 'quantitative', 'quantitative',
+                CAST(count(*) FILTER (WHERE n_chars IS NULL) AS BIGINT),
+                CAST(count(DISTINCT n_chars) AS BIGINT)
+         FROM documents""",
+    "q_freq_gate" ->
+      """WITH c AS (
+           SELECT 'lang' AS feature, count(*) AS cnt FROM documents GROUP BY lang
+           UNION ALL
+           SELECT 'source' AS feature, count(*) AS cnt FROM documents GROUP BY source)
+         SELECT feature, CAST(max(cnt) AS BIGINT) AS max_cnt, CAST(sum(cnt) AS BIGINT) AS n,
+                max(cnt)::DOUBLE / sum(cnt) > 0.98 AS too_common,
+                max(cnt)::DOUBLE / sum(cnt) < 0.02 AS non_common
+         FROM c GROUP BY feature""",
+    "q_unexpected_values" ->
+      """SELECT 'lang' AS feature, lang AS value, count(*) AS n
+         FROM documents
+         WHERE lang IS NOT NULL
+           AND lang NOT IN (SELECT DISTINCT lang FROM documents WHERE lang <> 'zh')
+         GROUP BY 1, 2""",
     "q_rate_strategies" ->
       s"""WITH fit AS (${carveOracleSql("q_carve_fit")})
          SELECT feature, bin,

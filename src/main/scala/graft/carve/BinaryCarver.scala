@@ -120,6 +120,33 @@ object BinaryCarver {
         "rate", "frequency", "count", "dropped", "dropped_reason")
     }
 
+    /** X5 check-values as a frame: (feature, value, n) of categorical
+      * values unseen at fit time, for kept features with no default bucket —
+      * exactly the rows `transform(checkValues = true)` would raise on.
+      * One explode-aggregate pass through the same compiled MapLookup probe
+      * the scoring path uses; shuffle bounded by unseen-value cardinality.
+      */
+    def unexpectedValues(df: DataFrame): DataFrame = {
+      val present = df.columns.toSet
+      val checked = kept.filter(f =>
+        f.kind == "categorical" && f.otherBin < 0 && present.contains(f.name))
+      val entries = checked.map { f =>
+        struct(
+          lit(f.name).as("feature"),
+          when(col(f.name).isNotNull && transformColumn(f, col(f.name), present).isNull,
+            categoricalStringExpr(col(f.name))).as("value"))
+      }
+      if (entries.isEmpty)
+        df.sparkSession.emptyDataFrame
+          .select(lit("").as("feature"), lit("").as("value"), lit(0L).as("n"))
+          .limit(0)
+      else
+        df.select(explode(array(entries: _*)).as("e"))
+          .filter(col("e.value").isNotNull)
+          .groupBy(col("e.feature").as("feature"), col("e.value").as("value"))
+          .agg(count(lit(1)).as("n"))
+    }
+
     /** Human-readable label variant of transform. */
     def transformLabels(df: DataFrame): DataFrame = {
       val present = df.columns.toSet
@@ -472,6 +499,30 @@ object BinaryCarver {
           case _ => None
         }
     }.flatten.toSeq
+  }
+
+  /** Input audit as a frame (S1+T2 oracle surface): runs [[validateInputs]]
+    * (the reference's schema checks, `base_carver._prepare_samples`), then
+    * profiles each declared feature in ONE explode-aggregate pass over the
+    * SAME long-form encoding the fit histogram uses — so the T1
+    * stringification and NaN routing exercised here are the fit's own.
+    * `detected_kind` is [[inferSpecs]]' schema inference (T2,
+    * reference `infer_feature_kind`).
+    */
+  def auditFrame(df: DataFrame, target: String, specs: Seq[FeatureSpec]): DataFrame = {
+    validateInputs(df, target, specs)
+    val declared = specs.map(s => s.name -> s.kind).toMap
+    val detected = inferSpecs(df, exclude = Seq(target)).map(s => s.name -> s.kind).toMap
+    val long = df.select(explode(array(histEntries(specs, Map.empty): _*)).as("e"))
+    val v = coalesce(col("e.sv"), col("e.dv").cast("string"))
+    long
+      .groupBy(col("e.fid").as("feature"))
+      .agg(
+        count(when(v.isNull, 1)).as("n_null"),
+        countDistinct(v).as("n_distinct"))
+      .withColumn("kind", element_at(typedlit(declared), col("feature")))
+      .withColumn("detected_kind", element_at(typedlit(detected), col("feature")))
+      .select(col("feature"), col("kind"), col("detected_kind"), col("n_null"), col("n_distinct"))
   }
 
   /** Full input audit (S1, reference `base_carver._prepare_samples` +

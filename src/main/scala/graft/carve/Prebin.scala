@@ -171,14 +171,19 @@ object Prebin {
       rescue: Boolean, featureName: String): Unit = {
     if (perValueCounts.isEmpty || total == 0) return
     val maxFreq = perValueCounts.max / total
-    val tooCommon = maxFreq > 1 - minFreq
-    val nonCommon = maxFreq < minFreq
+    val (tooCommon, nonCommon) = gateStatus(maxFreq, minFreq)
     if ((tooCommon || nonCommon) && !rescue)
       throw new IllegalArgumentException(
         f"[frequencyGate] feature $featureName%s: most frequent value has freq=$maxFreq%2.2f " +
           f"outside [$minFreq%2.4f, ${1 - minFreq}%2.4f]. Decrease min_freq, drop the feature, " +
           "or set rescue=true to keep it for the min_freq-waived search.")
   }
+
+  /** The gate's pure decision (shared with the q_freq_gate oracle):
+    * (tooCommon, nonCommon) for a mode frequency against min_freq.
+    */
+  def gateStatus(maxFreq: Double, minFreq: Double): (Boolean, Boolean) =
+    (maxFreq > 1 - minFreq, maxFreq < minFreq)
 
   /** Categorical rare-modality grouping (`categorical_discretizer.py:82-132`):
     * values Wilson-significantly below minFreq (excluding the NaN label) go

@@ -131,4 +131,39 @@ class BinaryCarverSpec extends SparkSuite {
       BinaryCarver.validateInputs(d, "nope", Seq(q)))
     BinaryCarver.validateInputs(d, "y", Seq(q, BinaryCarver.FeatureSpec("c", "categorical")))
   }
+
+  test("auditFrame profiles nulls/distincts and reports declared vs detected kinds") {
+    val d = Seq(
+      (Some(1.0), Option("a"), 0), (Some(2.0), Option("b"), 1),
+      (None, Option("a"), 0), (Some(1.0), None, 1)
+    ).toDF("x", "c", "y")
+    val rows = BinaryCarver.auditFrame(d, "y", Seq(
+      BinaryCarver.FeatureSpec("x", "quantitative"),
+      BinaryCarver.FeatureSpec("c", "categorical")
+    )).collect().map(r => r.getString(0) ->
+      (r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("x") == (("quantitative", "quantitative", 1L, 2L)))
+    assert(rows("c") == (("categorical", "categorical", 1L, 2L)))
+    // bad declarations still raise through the S1 path
+    intercept[IllegalArgumentException](
+      BinaryCarver.auditFrame(d, "y", Seq(BinaryCarver.FeatureSpec("nope", "quantitative"))))
+  }
+
+  test("unexpectedValues lists exactly the values transform(checkValues) raises on") {
+    val fitDf = (0 until 60).map { i =>
+      val c = if (i % 2 == 0) "a" else "b"
+      (c, if (c == "a") (if (i % 10 == 0) 0 else 1) else (if (i % 10 == 1) 1 else 0))
+    }.toDF("c", "y")
+    val m = BinaryCarver.fit(fitDf, "y", Seq(BinaryCarver.FeatureSpec("c", "categorical")),
+      config = BinaryCarver.Config(minFreq = 0.1))
+    val score = Seq(("a", 1), ("zz", 2), ("zz", 3), (null, 4), ("ww", 5)).toDF("c", "doc_id")
+    val got = m.unexpectedValues(score).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("c", "zz", 2L), ("c", "ww", 1L)))
+    // and the raise path trips on the same frame
+    val ex = intercept[Exception] {
+      m.transform(score, checkValues = true).collect()
+    }
+    assert(ex.getMessage.contains("check_values") || ex.getCause != null)
+  }
 }
