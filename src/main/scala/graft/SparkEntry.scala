@@ -421,6 +421,23 @@ object SparkEntry {
       import s.implicits._
       rows.toDF("y_class", "feature", "bin", "bin_label", "rate", "n")
     }),
+    // S2 oracle: the per-class feature VERSIONS the OvR transform emits —
+    // column names are the reference's exact `<feature>__y=<class>` aliases,
+    // so the driver's column-name compare checks the aliasing itself
+    "q_ovr_transform" -> ((s, dir) => {
+      import graft.carve.{BinaryCarver, OneVsRestCarver}
+      val df = Tables.documents(s, dir)
+        .withColumn("y", when(col("n_chars") > 350, "high")
+          .when(col("n_chars") > 200, "mid").otherwise("low"))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
+      val m = OneVsRestCarver.fit(df, "y", Seq(
+        BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical")))
+      val out = m.transform(df)
+      val versions = m.classes.flatMap(c =>
+        m.perClass(c).kept.map(f => m.versionName(f.name, c))).sorted
+      out.select(col("doc_id") +: versions.map(v => col(s"${v}_bin").as(v)): _*)
+    }),
     // ------------------------------------------------------------- selector
     "q_select" -> ((s, dir) => {
       // the reference ClassificationSelector shape: task preset measures

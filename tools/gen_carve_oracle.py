@@ -180,6 +180,19 @@ oracle["q_carve_ovr"] = sql_values(orows,
     ["VARCHAR", "VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
 print("q_carve_ovr rows:", len(orows))
 
+# ---------------------------------------------------------- q_ovr_transform
+# S2 oracle: the reference's per-class feature VERSIONS (`<feat>__y=<class>`,
+# `features/features.py:866`) pinned WIDE — the driver's column-name compare
+# then checks the aliasing itself, not just the codes.
+otr = ovr.transform(Xo.copy())
+vcols = sorted(c for c in otr.columns if "__y=" in c)
+ovrows = [(int(d), *[int(otr[c].iloc[i]) for c in vcols])
+          for i, d in enumerate(docs["doc_id"])]
+oracle["q_ovr_transform"] = sql_values(ovrows,
+    ["doc_id"] + [f'"{c}"' for c in vcols],
+    ["BIGINT"] + ["INTEGER"] * len(vcols))
+print("q_ovr_transform rows:", len(ovrows), "cols:", vcols)
+
 # ------------------------------------------------------------ q_carve_nested
 # NestedFeature fit INSIDE BinaryCarver (P6 carver integration): the finest
 # column `fine` = source_lang rolls up to `source` where rare, then carves
