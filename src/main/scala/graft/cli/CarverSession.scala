@@ -129,44 +129,55 @@ final class CarverSession(spark: SparkSession) {
     }
   }
 
-  /** Modality distribution with target rate and rare flags (Wilson-free
-    * plain frequency compare, like the reference's inspection helper).
+  /** Modality distribution with target rate and rare flags — the
+    * reference's inspection helper semantics (`mcp/inspection.py:76-112`):
+    * frequency over NON-NULL observations, `rare` = Wilson upper bound of
+    * the proportion strictly below `min_freq` (`frequency_ci.py`,
+    * alpha=0.05 — the same rule the carvers use for rarity), and the null
+    * modality reported with neither `rare` nor `target_rate`.
     */
   def featureDistribution(column: String, minFreq: Option[Double], topN: Int): JValue = {
     val df = frame
     requireColumn(df, column)
-    val n = math.max(df.count(), 1L).toDouble
     val withY = target.map(t => df.withColumn("__y", col(t).cast("double"))).getOrElse(df)
     val aggs = Seq(count(lit(1)).as("c")) ++
       (if (target.isDefined) Seq(avg(col("__y")).as("rate")) else Nil)
     val rows = withY.groupBy(col(column).cast("string").as("v"))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("c").desc, col("v").asc).limit(topN).collect()
+    val nobs = rows.filter(_.getString(0) != null).map(_.getLong(1)).sum
     JArray(rows.toList.map { r =>
-      val freq = r.getLong(1) / n
+      val isNullMod = r.getString(0) == null
       val o: JObject = ("value" -> Option(r.getString(0))) ~ ("count" -> r.getLong(1)) ~
-        ("frequency" -> r6(freq)) ~
-        ("rare" -> minFreq.map(freq < _))
-      if (target.isDefined) o ~ ("target_rate" -> r6(r.getDouble(2))) else o
+        ("frequency" -> (if (nobs > 0) r6(r.getLong(1).toDouble / nobs) else 0.0)) ~
+        ("rare" -> minFreq.filter(_ => !isNullMod).map(mf =>
+          graft.carve.Stats.isSignificantlyBelow(r.getLong(1).toDouble, nobs, mf, 0.05)))
+      if (target.isDefined && !isNullMod && !r.isNullAt(2))
+        o ~ ("target_rate" -> r6(r.getDouble(2)))
+      else o
     })
   }
 
-  /** Checks `child` rolls many-to-one into every parent (the P6 nesting
-    * precondition): counts child values mapped to >1 parent value.
+  /** Checks `child` rolls many-to-one through `parents` — the reference's
+    * CONSECUTIVE level-pair walk (`mcp/inspection.py:114-140`): for each
+    * (finer, coarser) pair of `child :: parents`, null pairs dropped, a
+    * finer modality spread over >1 coarser modality is a violation.
     */
   def validateNesting(child: String, parents: Seq[String]): JValue = {
     val df = frame
-    (child +: parents).foreach(requireColumn(df, _))
-    val perParent = parents.map { p =>
-      val bad = df.groupBy(col(child)).agg(countDistinct(col(p)).as("np"))
+    val levels = child +: parents
+    levels.foreach(requireColumn(df, _))
+    val perPair = levels.zip(levels.tail).map { case (finer, coarser) =>
+      val bad = df.filter(col(finer).isNotNull && col(coarser).isNotNull)
+        .groupBy(col(finer)).agg(countDistinct(col(coarser)).as("np"))
         .filter(col("np") > 1)
       val examples = bad.limit(5).collect().map(_.get(0)).map(String.valueOf).toList
       val nBad = bad.count()
-      ("parent" -> p) ~ ("valid" -> (nBad == 0L)) ~
-        ("violations" -> nBad) ~ ("example_children" -> examples): JValue
+      ("finer" -> finer) ~ ("coarser" -> coarser) ~ ("valid" -> (nBad == 0L)) ~
+        ("violations" -> nBad) ~ ("example_modalities" -> examples): JValue
     }
-    ("child" -> child) ~ ("valid" -> perParent.forall(j => (j \ "valid") == JBool(true))) ~
-      ("parents" -> JArray(perParent.toList))
+    ("child" -> child) ~ ("valid" -> perPair.forall(j => (j \ "valid") == JBool(true))) ~
+      ("levels" -> JArray(perPair.toList))
   }
 
   /** Datetime columns with span + coverage — the anchor-picking aid. */

@@ -42,8 +42,15 @@ object PagePipeline {
       Seq(graft.carve.DatetimeFeatures.DatetimeSpec("warc_ts", "2024-01-01", as = "warc_age_sec")))
       .drop("html", "text")
 
-  def featureFrame(pages: DataFrame): DataFrame = {
-    val base = scanFrame(pages)
+  def featureFrame(pages: DataFrame): DataFrame = featureFromScan(scanFrame(pages))
+
+  /** Temporal features over an ALREADY-projected scan frame — split out so
+    * the fit path can persist the narrow projection once and feed both the
+    * sketch pass and this window stage from it (the projection is ~0.5% of
+    * the input bytes at corpus scale; re-deriving it means paying the
+    * html/text parquet decode + tokenization a second time).
+    */
+  def featureFromScan(base: DataFrame): DataFrame = {
     val lagged = Temporal.lagLead(base, Seq("url"), Seq("warc_ts"), "text_len", lags = Seq(1), leads = Nil)
     Temporal
       .sessionize(lagged, Seq("host"), "warc_ts", gapSeconds = 14L * 24 * 3600, orderTieBreak = Seq("url"))
@@ -93,7 +100,20 @@ object PagePipeline {
       // O(quantiles), not O(distinct values). The sketch's two extra passes
       // (distinct-count gate + approxQuantile) run on the cheap scan-side
       // projection — no window shuffle, just the parquet scan.
-      val scanOnly = scanFrame(guarded)
+      // the narrow projection is scanned TWICE (sketch pass, then the
+      // window/histogram pass). `spark.graft.pages.cacheScan` persists it
+      // (MEMORY_AND_DISK — ~0.5% of input bytes at corpus scale) so the
+      // html/text decode + tokenization runs once: worth it when decode
+      // dominates the scan (real web corpora). Default OFF: a 4-core A/B on
+      // the synthetic 2.3M-page table measured no fit win (15.45 s vs
+      // 15.34 s) and a ~1.5 s transform regression from cache-block memory
+      // pressure — the synthetic decode is too cheap to amortize the cache
+      // write at this scale.
+      val cacheScan = spark.conf.getOption("spark.graft.pages.cacheScan").exists(_.toBoolean)
+      val scanOnly0 = scanFrame(guarded)
+      val scanOnly = if (cacheScan)
+        scanOnly0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else scanOnly0
       val sketchSpecs = specs.filter(s => scanOnly.columns.contains(s.name))
       // sketch accuracy: the prebin only needs quantile edges well inside a
       // min_freq/2 = 1% bucket; eps=1e-3 is 10x finer than needed and keeps
@@ -103,8 +123,9 @@ object PagePipeline {
       val sketched = timed("sketch")(BinaryCarver.sketchHighCardinality(scanOnly, sketchSpecs,
         config.copy(sketchCardinalityThreshold = math.min(config.sketchCardinalityThreshold, 100000L),
           sketchRelativeError = math.max(config.sketchRelativeError, 0.001))))
-      val train = featureFrame(guarded).withColumn("y", label)
+      val train = featureFromScan(scanOnly).withColumn("y", label)
       val hist = timed("histogram")(BinaryCarver.histogram(train, "y", specs, sketched))
+      if (cacheScan) scanOnly.unpersist()
       val json = timed("hist-json")(HistJson.write(hist))
       IcebergLite.saveCheckpoint(table, IcebergLite.Checkpoint("hist", manifest.snapshotId, cfgHash, json))
       json

@@ -49,6 +49,55 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col(keyCol), col("n_events"), col("total"))
 
+  /** Windowed PSI drift of a fitted feature's bin distribution against its
+    * fit-time reference frequencies — the streaming form of the M1 monitor
+    * ([[graft.stability.Stability.psi]], `stability/metrics.py` PSI): score
+    * the stream with a fitted carver (`model.transform`, a pure projection),
+    * then feed the bin column here.
+    *
+    * ONE stateful aggregation per tumbling window (state: a single row of K
+    * conditional bin counts per window, dropped once the watermark passes)
+    * followed by a STATELESS projection computing PSI — exactly the batch
+    * math: both sides clamped at `epsilon`, renormalized, Σ (n−r)·ln(n/r).
+    * The reference side is constant-folded on the driver. Append mode, so
+    * each window emits exactly one final (window_start, n, psi) row.
+    *
+    * Rows with a null bin code contribute to no bucket; a window containing
+    * only null bins reports NaN (no distribution to compare), mirroring the
+    * batch monitor's NaN propagation.
+    */
+  def psiDriftStream(
+      scored: DataFrame,
+      tsCol: String,
+      binCol: String,
+      refFreq: Seq[Double],
+      windowLen: String,
+      watermarkDelay: String,
+      epsilon: Double = 1e-6
+  ): DataFrame = {
+    require(refFreq.nonEmpty, "[psiDriftStream] refFreq is empty")
+    val refClamped = refFreq.map(math.max(_, epsilon))
+    val rs = refClamped.sum
+    val r = refClamped.map(_ / rs)
+    val cnts = refFreq.indices.map(i =>
+      sum((col(binCol) === i).cast("long")).as(s"__c$i"))
+    val agg = scored
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(cnts.head, cnts.tail: _*)
+    val total = refFreq.indices.map(i => coalesce(col(s"__c$i"), lit(0L))).reduce(_ + _).cast("double")
+    val nw = refFreq.indices.map(i => greatest(col(s"__c$i").cast("double") / total, lit(epsilon)))
+    val ns = nw.reduce(_ + _)
+    val psi = refFreq.indices.map { i =>
+      val n = nw(i) / ns
+      (n - lit(r(i))) * log(n / lit(r(i)))
+    }.reduce(_ + _)
+    agg.select(
+      col("window.start").as("window_start"),
+      total.cast("long").as("n"),
+      when(total > 0, psi).otherwise(lit(Double.NaN)).as("psi"))
+  }
+
   /** Streaming first-seen dedup with TTL'd custom state
     * (`flatMapGroupsWithState`): emits only the FIRST event per key; the
     * per-key seen-marker is dropped by event-time timeout once the

@@ -46,6 +46,16 @@ class CliSpec extends SparkSuite {
     val nest = call(s, "validate_nesting",
       "child" -> JString("doc_id"), "parents" -> JArray(List(JString("source"))))
     assert((nest \ "valid") == JBool(true)) // doc_id -> source is many-to-one
+    // CONSECUTIVE pair walk (inspection.py:114-140): doc_id -> source holds,
+    // but the next pair source -> lang spreads, so the chain is invalid —
+    // a child->each-parent check would wrongly pass (doc_id -> lang is 1:1)
+    val chain = call(s, "validate_nesting",
+      "child" -> JString("doc_id"),
+      "parents" -> JArray(List(JString("source"), JString("lang"))))
+    assert((chain \ "valid") == JBool(false))
+    val pairs = (chain \ "levels").asInstanceOf[JArray].arr
+    assert(pairs.exists(p => (p \ "finer") == JString("source") && (p \ "valid") == JBool(false)))
+    assert(pairs.exists(p => (p \ "finer") == JString("doc_id") && (p \ "valid") == JBool(true)))
 
     // suggest_features fills the draft (target skipped)
     val draft = call(s, "suggest_features").asInstanceOf[JObject].obj.toMap

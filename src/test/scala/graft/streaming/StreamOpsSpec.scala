@@ -106,6 +106,41 @@ class StreamOpsSpec extends SparkSuite {
     }
   }
 
+  test("streaming PSI drift per window equals the batch Stability.psi on the same codes") {
+    import graft.stability.Stability
+    implicit val sqlCtx = spark.sqlContext
+    val refFreq = Seq(0.5, 0.3, 0.2)
+    val input = MemoryStream[(Timestamp, Int)]
+    val scored = input.toDF().toDF("ts", "x_bin")
+    val drift = StreamOps.psiDriftStream(scored, "ts", "x_bin", refFreq, "1 hour", "0 seconds")
+    val q = drift.writeStream.outputMode("append").format("memory").queryName("psi_out").start()
+    // window 0: skewed toward bin 0; window 1: matches the reference-ish
+    val w0 = Seq.fill(8)(0) ++ Seq.fill(1)(1) ++ Seq.fill(1)(2)
+    val w1 = Seq.fill(5)(0) ++ Seq.fill(3)(1) ++ Seq.fill(2)(2)
+    input.addData(w0.map(b => (ts("2024-01-01 00:10:00"), b)): _*)
+    input.addData(w1.map(b => (ts("2024-01-01 01:10:00"), b)): _*)
+    q.processAllAvailable()
+    input.addData((ts("2024-01-02 00:00:00"), 0)) // advance watermark
+    q.processAllAvailable()
+    input.addData((ts("2024-01-03 00:00:00"), 0)) // flush closed windows
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("psi_out")
+      .filter(col("window_start") < ts("2024-01-01 12:00:00"))
+      .select("window_start", "n", "psi").as[(Timestamp, Long, Double)]
+      .collect().map(r => r._1.toString -> (r._2, r._3)).toMap
+    def batchPsi(bins: Seq[Int]): Double = {
+      val counts = refFreq.indices.map(i => bins.count(_ == i).toDouble).toArray
+      Stability.psi(refFreq.toArray, counts.map(_ / bins.length))._1
+    }
+    val (n0, p0) = got("2024-01-01 00:00:00.0")
+    val (n1, p1) = got("2024-01-01 01:00:00.0")
+    assert(n0 == 10L && n1 == 10L, got.toString)
+    assert(math.abs(p0 - batchPsi(w0)) < 1e-9, s"$p0 vs ${batchPsi(w0)}")
+    assert(math.abs(p1 - batchPsi(w1)) < 1e-9, s"$p1 vs ${batchPsi(w1)}")
+    assert(p0 > p1) // the skewed window drifts more
+  }
+
   test("streaming scoring: a fitted carver model transforms a stream (pure projection)") {
     import graft.carve.BinaryCarver
     implicit val sqlCtx = spark.sqlContext
