@@ -302,9 +302,42 @@ object SparkEntry {
       // edge/tie flips the 500-row fixtures cannot see (SURVEY §7.4). Reads
       // the sf0.1 sibling of the verify dir; falls back to `dir` when absent
       // (the fixture was produced by the reference on sf0.1).
-      val sib = new java.io.File(new java.io.File(dir).getParentFile, "sf0.1")
-      val dir01 = if (sib.exists()) sib.toString else dir
-      fitRowsDF(s, carveDocs(s, dir01))
+      fitRowsDF(s, carveDocs(s, sf01Sibling(dir)))
+    }),
+    "q_carve_continuous_sf01" -> ((s, dir) => {
+      // the continuous family at 10× rows: the rank-stat (Kruskal) sort and
+      // per-bin means see 10× the ties — same SURVEY §7.4 risk class as
+      // q_carve_fit_sf01, for the family with the most tie-sensitive math
+      import graft.carve.{BinaryCarver, ContinuousCarver}
+      val df = Tables.documents(s, sf01Sibling(dir))
+        .withColumn("y", TextOps.tokenCount(col("text")).cast("double"))
+      val m = ContinuousCarver.fit(df, "y", Seq(
+        BinaryCarver.FeatureSpec("n_chars", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical")))
+      val rows = m.kept.flatMap(f => f.rates.zipWithIndex.map { case (r, i) =>
+        (f.name, i.toLong, sortedLabel(f.binLabels(i)),
+          BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+      })
+      import s.implicits._
+      rows.toDF("feature", "bin", "bin_label", "mean_y", "n")
+    }),
+    "q_carve_ordinal_sf01" -> ((s, dir) => {
+      // the ordinal family at 10× rows: ridit scores move with every level
+      // frequency, so tie-heavy levels stress the K-crosstab + tau-b path
+      import graft.carve.{BinaryCarver, OrdinalCarver}
+      val df = Tables.documents(s, sf01Sibling(dir))
+        .withColumn("y", lit(1) + (col("n_chars") > 150).cast("int")
+          + (col("n_chars") > 300).cast("int") + (col("n_chars") > 450).cast("int"))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
+      val m = OrdinalCarver.fit(df, "y", Seq(
+        BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical")))
+      val rows = m.kept.flatMap(f => f.feature.rates.zipWithIndex.map { case (r, i) =>
+        (f.feature.name, i.toLong, sortedLabel(f.feature.binLabels(i)),
+          BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+      })
+      import s.implicits._
+      rows.toDF("feature", "bin", "bin_label", "mean_ridit", "n")
     }),
     "q_carve_transform" -> ((s, dir) => {
       val m = carveDocs(s, dir)
@@ -695,6 +728,15 @@ object SparkEntry {
         case _ => Map.empty
       }
     } finally in.close()
+  }
+
+  /** The sf0.1 sibling of the verify dir (the *_sf01 oracles re-run their
+    * sf0.01 configs at 10× rows); falls back to `dir` when absent — the
+    * fixtures were produced by the reference on sf0.1.
+    */
+  private def sf01Sibling(dir: String): String = {
+    val sib = new java.io.File(new java.io.File(dir).getParentFile, "sf0.1")
+    if (sib.exists()) sib.toString else dir
   }
 
   private def carveDocs(s: SparkSession, dir: String): graft.carve.BinaryCarver.Model = {

@@ -376,5 +376,35 @@ oracle["q_carve_fit_sf01"] = sql_values(rows,
     ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
 print("q_carve_fit_sf01 rows:", len(rows))
 
+# ------------------------------------------------- q_carve_continuous_sf01
+# The continuous family at 10x rows: the rank-stat aggregation (Kruskal) and
+# per-bin means see 10x the ties — catches tie-ordering flips the 500-row
+# fixture cannot (same SURVEY 7.4 risk class as q_carve_fit_sf01).
+docs01["n_tokens"] = docs01["text"].map(token_count).astype(float)
+Xc01 = docs01[["n_chars", "lang"]].copy(); Xc01["n_chars"] = Xc01["n_chars"].astype(float)
+cc01 = AC.ContinuousCarver(Features(categoricals=["lang"], numericals=["n_chars"]),
+                           min_freq=0.02, max_n_mod=5)
+cc01.fit(Xc01.copy(), docs01["n_tokens"].astype(float))
+rows = fit_rows(cc01, ["n_chars", "lang"])
+oracle["q_carve_continuous_sf01"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "mean_y", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_continuous_sf01 rows:", len(rows))
+
+# ---------------------------------------------------- q_carve_ordinal_sf01
+# The ordinal family at 10x rows: ridit scores shift with every level's
+# frequency, so tie-heavy levels stress the K-crosstab + tau-b path.
+y01_ord = (1 + (docs01["n_chars"] > 150).astype(int) + (docs01["n_chars"] > 300).astype(int)
+           + (docs01["n_chars"] > 450).astype(int))
+Xo01 = docs01[["n_tokens", "lang"]].copy()
+oc01 = AC.OrdinalCarver(Features(categoricals=["lang"], numericals=["n_tokens"]),
+                        min_freq=0.02, max_n_mod=5)
+oc01.fit(Xo01.copy(), y01_ord)
+rows = fit_rows(oc01, ["n_tokens", "lang"], rate_col="target_mean_ridit")
+oracle["q_carve_ordinal_sf01"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "mean_ridit", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_ordinal_sf01 rows:", len(rows))
+
 json.dump(oracle, open(OUT, "w"), indent=1)
 print("wrote", OUT, "entries:", list(oracle))
