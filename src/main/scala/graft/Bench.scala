@@ -307,10 +307,15 @@ object Bench {
         val primary = measurePair(n1, n4, maxRounds, coolFirst, 10, table, warmTable, totalRows,
           remaining - secondaryReserve, retakeRemaining = remaining)
           .getOrElse(throw new RuntimeException("no primary scaling round fit the budget"))
+        // the secondary defaults to one retake-free round (budget priority:
+        // it must never starve the query suite under the driver's 405 s);
+        // a manual idle-host retake can grant it the same noise-robustness
+        // as the primary via SPARK_GRAFT_SCALE_ROUNDS2 + a bigger budget
+        val rounds2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS2", "1").toInt
         val secondary = pair2.flatMap { case (a, b) =>
           if (remaining > 140.0)
-            measurePair(a, b, 1, 12, 10, table, warmTable, totalRows,
-              remaining, retakeRemaining = 0.0) // no retake on the secondary
+            measurePair(a, b, rounds2, 12, 10, table, warmTable, totalRows,
+              remaining, retakeRemaining = if (rounds2 > 1) remaining else 0.0)
           else None
         }
         val pairsJson = (Seq(primary) ++ secondary.toSeq).mkString("[", ",", "]")
