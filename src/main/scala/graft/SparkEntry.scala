@@ -491,6 +491,23 @@ object SparkEntry {
             .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble) })
         .toDF("feature", "kind", "status", "association")
     }),
+    "q_select_sf01" -> ((s, dir) => {
+      // the q_select config at 10× rows (sf0.1): the rank-based Kruskal
+      // eta² and the Tschuprow T crosstab both see 10× the ties — the
+      // selector analogue of the *_sf01 carve oracles
+      val df = Tables.documents(s, sf01Sibling(dir)).withColumn("y", docLabel)
+      val sel = graft.select.Selector.selectTask(df, "y",
+        quants = Seq("n_chars", "doc_id"), quals = Seq("lang", "source"),
+        task = "classification",
+        config = graft.select.Selector.Config(totalBudget = Some(2)))
+      import s.implicits._
+      (sel.kept.map(m => (m.name, m.kind, "kept",
+          BigDecimal(m.association).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble)) ++
+        sel.dropped.map { case (m, _) => (m.name, m.kind, "dropped",
+          BigDecimal(if (m.association.isNaN) -1 else m.association)
+            .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble) })
+        .toDF("feature", "kind", "status", "association")
+    }),
     "q_nested_rollup" -> ((s, dir) => {
       // synthetic clean hierarchy over documents: fine = source_lang ⊂ source
       import graft.carve.Nested

@@ -530,13 +530,26 @@ object BinaryCarver {
     * duplicate declarations, target not declared as a feature, dtypes
     * compatible with the declared kind. Pure schema checks — O(1), no job.
     */
+  /** The reference's leaked-target guard (`base_carver.py:440-453`,
+    * `tests/carvers/test_target_guard.py`): a feature declaration named
+    * like the target (a from_dataframe-style "declare every column" flow
+    * maps the target too; in this engine the target is declared by column
+    * name, so same name == same column) is WARNED about and DROPPED, never
+    * an error. Every family's fit routes through this before validation.
+    */
+  def guardTarget(target: String, specs: Seq[FeatureSpec]): Seq[FeatureSpec] = {
+    val (leaked, kept) = specs.partition(_.name == target)
+    if (leaked.nonEmpty)
+      Console.err.println(s"[carver] dropping target column '$target' from features")
+    kept
+  }
+
   def validateInputs(df: DataFrame, target: String, specs: Seq[FeatureSpec]): Unit = {
     import org.apache.spark.sql.types._
     val schema = df.schema.fields.map(f => f.name -> f.dataType).toMap
     require(specs.nonEmpty, "no features to carve")
     val dupes = specs.groupBy(_.name).collect { case (n, ss) if ss.length > 1 => n }
     require(dupes.isEmpty, s"duplicate feature declarations: ${dupes.mkString(", ")}")
-    require(!specs.exists(_.name == target), s"target '$target' is also declared as a feature")
     require(schema.contains(target), s"target column '$target' not in frame")
     specs.foreach { s =>
       val dt = schema.getOrElse(s.name,
@@ -598,7 +611,11 @@ object BinaryCarver {
       // driver-side bookkeeping, bounded by the number of TESTED candidates
       // (the walk stops at the first viable one)
       history: Boolean = true
-  )
+  ) {
+    // max_n_mod=1 would carve every feature into one constant modality: no
+    // combination viable, everything dropped (`base_carver.py:300`)
+    require(maxNMod >= 2, s"max_n_mod must be >= 2, got $maxNMod")
+  }
 
   def fit(
       train: DataFrame,
@@ -607,6 +624,8 @@ object BinaryCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config()
   ): Model = {
+    val guarded = guardTarget(target, specs)
+    if (guarded.length != specs.length) return fit(train, target, guarded, dev, config)
     validateInputs(train, target, specs)
     val sketched = sketchHighCardinality(train, specs, config)
     // cv>1 shares ONE scan between the train histogram and all fold views

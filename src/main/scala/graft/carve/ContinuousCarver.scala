@@ -25,6 +25,8 @@ object ContinuousCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config(sortBy = "kruskal")
   ): Model = {
+    val guarded = BinaryCarver.guardTarget(target, specs)
+    if (guarded.length != specs.length) return fit(train, target, guarded, dev, config)
     BinaryCarver.validateInputs(train, target, specs)
     val halfMinFreq = config.minFreq / 2.0
     val q = math.rint(1.0 / halfMinFreq).toInt

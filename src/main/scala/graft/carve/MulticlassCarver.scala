@@ -34,7 +34,9 @@ object MulticlassCarver {
       sketchCardinalityThreshold: Long = 2000000L,
       sketchRelativeError: Double = 0.0001,
       history: Boolean = true
-  )
+  ) {
+    require(maxNMod >= 2, s"max_n_mod must be >= 2, got $maxNMod")
+  }
 
   final case class MFitted(feature: FittedFeature, cramerv: Double, tschuprowt: Double,
       // fitted CA-axis rate (the reference's `rate_reference` for nominal
@@ -141,6 +143,8 @@ object MulticlassCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config()
   ): Model = {
+    val guarded = BinaryCarver.guardTarget(target, specs)
+    if (guarded.length != specs.length) return fit(train, target, guarded, dev, config)
     BinaryCarver.validateInputs(train, target, specs)
     require(!specs.exists(_.kind == "nested"),
       "nested features are not supported against an unordered multiclass target — the " +
@@ -484,6 +488,8 @@ object OneVsRestCarver {
       dev: Option[DataFrame] = None,
       config: BinaryCarver.Config = BinaryCarver.Config()
   ): Model = {
+    val guarded = BinaryCarver.guardTarget(target, specs)
+    if (guarded.length != specs.length) return fit(train, target, guarded, dev, config)
     BinaryCarver.validateInputs(train, target, specs)
     // nested specs are fine HERE (unlike the CA MulticlassCarver): each
     // class is a binary sub-fit, so the rollup's target sort runs per class

@@ -35,7 +35,9 @@ object OrdinalCarver {
       sketchCardinalityThreshold: Long = 2000000L,
       sketchRelativeError: Double = 0.0001,
       history: Boolean = true
-  )
+  ) {
+    require(maxNMod >= 2, s"max_n_mod must be >= 2, got $maxNMod")
+  }
 
   final case class OFitted(feature: FittedFeature, tauB: Double, tauC: Double, somersd: Double,
       // fitted target-rate reference (ridit marginal snapshot / level map) —
@@ -143,6 +145,8 @@ object OrdinalCarver {
       dev: Option[DataFrame] = None,
       config: Config = Config()
   ): Model = {
+    val guarded = BinaryCarver.guardTarget(target, specs)
+    if (guarded.length != specs.length) return fit(train, target, guarded, dev, config)
     BinaryCarver.validateInputs(train, target, specs)
     val sketched = BinaryCarver.sketchHighCardinality(train, specs,
       BinaryCarver.Config(minFreq = config.minFreq,

@@ -119,8 +119,10 @@ class BinaryCarverSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       BinaryCarver.validateInputs(d, "y", Seq(BinaryCarver.FeatureSpec("nope", "quantitative"))))
     intercept[IllegalArgumentException](BinaryCarver.validateInputs(d, "y", Seq(q, q)))
-    intercept[IllegalArgumentException](
-      BinaryCarver.validateInputs(d, "y", Seq(BinaryCarver.FeatureSpec("y", "quantitative"))))
+    // a target-named spec is not an error: fit warns and drops it, matching
+    // the reference guard (base_carver.py:440-453) — see TargetGuardSpec
+    assert(BinaryCarver.guardTarget("y",
+      Seq(q, BinaryCarver.FeatureSpec("y", "quantitative"))) == Seq(q))
     intercept[IllegalArgumentException](
       BinaryCarver.validateInputs(d, "y", Seq(BinaryCarver.FeatureSpec("c", "quantitative"))))
     intercept[IllegalArgumentException](

@@ -1,0 +1,68 @@
+package graft.carve
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** The reference's carver-level input guards
+  * (`tests/carvers/test_target_guard.py`, `tests/carvers/test_defaults.py`):
+  *
+  *  - a target column that leaked into the feature declarations (e.g. a
+  *    from_dataframe-style "declare every column" flow) is WARNED about and
+  *    DROPPED, not an error (`base_carver.py:440-453` — in this engine's
+  *    API the target is declared by column name, so a spec named like the
+  *    target IS the target column);
+  *  - `max_n_mod < 2` is rejected at construction (`base_carver.py:300`) —
+  *    it would carve every feature into one constant modality.
+  */
+class TargetGuardSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def frame = (0 until 200).map { i =>
+    (Vector("a", "b", "c")(i % 3), i.toDouble, if (i % 3 != 0 && i % 2 == 0) 1 else 0)
+  }.toDF("f1", "f2", "target")
+
+  private val leaked = Seq(
+    BinaryCarver.FeatureSpec("f1", "categorical"),
+    BinaryCarver.FeatureSpec("f2", "quantitative"),
+    BinaryCarver.FeatureSpec("target", "quantitative"))
+
+  test("binary carver drops a target column declared as a feature") {
+    val m = BinaryCarver.fit(frame, "target", leaked, config = BinaryCarver.Config(minFreq = 0.1))
+    assert(!m.features.exists(_.name == "target"), m.features.map(_.name))
+    assert(m.features.map(_.name).toSet == Set("f1", "f2"))
+  }
+
+  test("continuous carver drops a target column declared as a feature") {
+    val df = frame.withColumn("target", col("f2") * 2 + col("target"))
+    val m = ContinuousCarver.fit(df, "target", leaked)
+    assert(!m.features.exists(_.name == "target"))
+  }
+
+  test("ordinal carver drops a target column declared as a feature") {
+    val df = frame.withColumn("target", (col("f2") > 100).cast("int") + (col("f2") > 150).cast("int"))
+    val m = OrdinalCarver.fit(df, "target", leaked)
+    assert(!m.features.exists(_.feature.name == "target"))
+  }
+
+  test("multiclass carver drops a target column declared as a feature") {
+    val df = frame.withColumn("target", pmod(col("f2").cast("int"), lit(3)).cast("string"))
+    val specs = leaked.init :+ BinaryCarver.FeatureSpec("target", "categorical")
+    val m = MulticlassCarver.fit(df, "target", specs)
+    assert(!m.features.exists(_.feature.name == "target"))
+  }
+
+  test("one-vs-rest carver drops a target column declared as a feature") {
+    val df = frame.withColumn("target", pmod(col("f2").cast("int"), lit(3)).cast("string"))
+    val specs = leaked.init :+ BinaryCarver.FeatureSpec("target", "categorical")
+    val m = OneVsRestCarver.fit(df, "target", specs)
+    m.classes.foreach { c =>
+      assert(!m.perClass(c).features.exists(_.name == "target"))
+    }
+  }
+
+  test("max_n_mod < 2 is rejected at construction in every family config") {
+    intercept[IllegalArgumentException](BinaryCarver.Config(maxNMod = 1))
+    intercept[IllegalArgumentException](OrdinalCarver.Config(maxNMod = 1))
+    intercept[IllegalArgumentException](MulticlassCarver.Config(maxNMod = 0))
+  }
+}

@@ -406,5 +406,37 @@ oracle["q_carve_ordinal_sf01"] = sql_values(rows,
     ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
 print("q_carve_ordinal_sf01 rows:", len(rows))
 
+# ------------------------------------------------------------ q_select_sf01
+# The selector at 10x rows: the reference ClassificationSelector decides
+# kept/dropped on sf0.1; the association column is recomputed by DuckDB
+# from the sf0.1 parquet directly (absolute path — the driver's views are
+# bound to the verify sfdir, but DuckDB reads paths natively).
+Xs01 = docs01[["n_chars", "doc_id", "lang", "source"]].copy()
+Xs01["n_chars"] = Xs01["n_chars"].astype(float)
+Xs01["doc_id"] = Xs01["doc_id"].astype(float)
+ssel01 = ClassificationSelector(
+    Features(categoricals=["lang", "source"], numericals=["n_chars", "doc_id"]),
+    n_best_features=2)
+ssel01.fit(Xs01.copy(), y01)
+kept01 = {f.version for f in ssel01.selected_features}
+print("reference selector kept (sf0.1):", sorted(kept01))
+fix_rows01 = ",".join(
+    f"('{f}', '{kind[f]}', '{'kept' if f in kept01 else 'dropped'}')"
+    for f in ["n_chars", "doc_id", "lang", "source"])
+oracle["q_select_sf01"] = f"""WITH d AS (
+  SELECT CAST(n_chars AS DOUBLE) AS nc, CAST(doc_id AS DOUBLE) AS di, lang, source,
+         CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y
+  FROM '{SF01}/documents.parquet'
+),
+assoc(feature, a) AS (
+  SELECT 'n_chars', {kruskal_eta_sql('nc')}
+  UNION ALL SELECT 'doc_id', {kruskal_eta_sql('di')}
+  UNION ALL SELECT 'lang', {tschuprowt_sql('lang')}
+  UNION ALL SELECT 'source', {tschuprowt_sql('source')}
+),
+fix(feature, kind, status) AS (VALUES {fix_rows01})
+SELECT f.feature, f.kind, f.status, round(a.a, 6) AS association
+FROM fix f JOIN assoc a USING (feature)"""
+
 json.dump(oracle, open(OUT, "w"), indent=1)
 print("wrote", OUT, "entries:", list(oracle))
