@@ -491,6 +491,22 @@ object SparkEntry {
             .setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble) })
         .toDF("feature", "kind", "status", "association")
     }),
+    "q_carve_dropna" -> ((s, dir) => {
+      // ProcessingConfig(dropna=False) parity: NaN never joins a bin; fit
+      // rows pinned against the reference run with the same injected nulls
+      import graft.carve.BinaryCarver
+      fitRowsDF(s, BinaryCarver.fit(dropnaFrame(s, dir), "y", dropnaSpecs,
+        config = BinaryCarver.Config(dropna = false)))
+    }),
+    "q_carve_dropna_transform" -> ((s, dir) => {
+      // the unfillna contract: null inputs keep a raw NULL bin code
+      import graft.carve.BinaryCarver
+      val df = dropnaFrame(s, dir)
+      val m = BinaryCarver.fit(df, "y", dropnaSpecs,
+        config = BinaryCarver.Config(dropna = false))
+      m.transform(df, keepOriginal = true)
+        .select(col("doc_id"), col("lang_nan_bin"), col("nc_nan_bin"))
+    }),
     "q_select_sf01" -> ((s, dir) => {
       // the q_select config at 10× rows (sf0.1): the rank-based Kruskal
       // eta² and the Tschuprow T crosstab both see 10× the ties — the
@@ -746,6 +762,21 @@ object SparkEntry {
       }
     } finally in.close()
   }
+
+  /** documents with injected nulls (every 5th lang, every 7th n_chars) —
+    * the q_carve_dropna fixtures' input, mirrored in gen_carve_oracle.py.
+    */
+  private def dropnaFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("lang_nan", when(pmod(col("doc_id"), lit(5)) === 0, lit(null).cast("string"))
+        .otherwise(col("lang")))
+      .withColumn("nc_nan", when(pmod(col("doc_id"), lit(7)) === 0, lit(null).cast("double"))
+        .otherwise(col("n_chars").cast("double")))
+      .withColumn("y", docLabel)
+
+  private val dropnaSpecs = Seq(
+    graft.carve.BinaryCarver.FeatureSpec("lang_nan", "categorical"),
+    graft.carve.BinaryCarver.FeatureSpec("nc_nan", "quantitative"))
 
   /** The sf0.1 sibling of the verify dir (the *_sf01 oracles re-run their
     * sf0.01 configs at 10× rows); falls back to `dir` when absent — the

@@ -610,7 +610,13 @@ object BinaryCarver {
       // per-candidate search history (reference `_historize_combination`) —
       // driver-side bookkeeping, bounded by the number of TESTED candidates
       // (the walk stops at the first viable one)
-      history: Boolean = true
+      history: Boolean = true,
+      // reference ProcessingConfig.dropna (carver default true): false keeps
+      // NaN OUT of every bin — the all-values-vs-NaN split is still tested
+      // for viability when the non-NaN search finds nothing (informative
+      // missingness, `tests/carvers/test_nan_vs_values.py`), but transform
+      // leaves NaN raw (null bin code, the reference's unfillna)
+      dropna: Boolean = true
   ) {
     // max_n_mod=1 would carve every feature into one constant modality: no
     // combination viable, everything dropped (`base_carver.py:300`)
@@ -1089,15 +1095,25 @@ object BinaryCarver {
       if (config.history) mutable.ArrayBuffer.empty[Search.HistoryEntry] else null
     def run(minFreq: Option[Double]) = Search.bestCombination(
       p.xagg, devXagg, config.maxNMod, minFreq, config.minFreqAlpha,
-      config.sortBy, p.hasNan, NanLabel, dropna = true,
+      config.sortBy, p.hasNan, NanLabel, dropna = config.dropna,
       config.topKInitial, config.escalate, folds = folds, rateStrategy = config.rateStrategy,
       histSink = histBuf, rescueMode = minFreq.isEmpty)
     val normal = run(Some(config.minFreq))
     // rescue-rare rerun (`combination_evaluator.py:507-516`): min_freq waived,
     // distinct-rates + ordering still enforced on every validation view
-    val best =
+    val best0 =
       if (normal.isEmpty && config.rescue && (devXagg.nonEmpty || folds.nonEmpty)) run(None)
       else normal
+    // dropna=false: the NaN group (the all-vs-NaN rescue's second half) and
+    // the NaN rate row never materialize as a bin — NaN stays raw at
+    // transform time (`Features.unfillna`); the split was only the
+    // viability vehicle. The NaN group, when present, is last, so the
+    // surviving bin indices are unchanged.
+    val best =
+      if (config.dropna || !p.hasNan) best0
+      else best0.map(b => b.copy(
+        combination = b.combination.filterNot(_ == Vector(NanLabel)),
+        rates = b.rates.filterNot(_.label == NanLabel)))
 
     best match {
       case None =>

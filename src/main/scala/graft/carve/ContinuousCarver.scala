@@ -27,6 +27,8 @@ object ContinuousCarver {
   ): Model = {
     val guarded = BinaryCarver.guardTarget(target, specs)
     if (guarded.length != specs.length) return fit(train, target, guarded, dev, config)
+    require(config.dropna,
+      "[ContinuousCarver] dropna=false is only supported by the binary/OvR search path")
     BinaryCarver.validateInputs(train, target, specs)
     val halfMinFreq = config.minFreq / 2.0
     val q = math.rint(1.0 / halfMinFreq).toInt

@@ -487,7 +487,7 @@ object RefJson {
 
     s"""{"name": "${esc(f.name)}", "version": "${esc(ver)}", "version_tag": "${esc(ver)}", """ +
       s""""has_nan": ${f.hasNan}, "nan": "$Nan", "has_default": ${f.hasDefault}, "default": "$Other", """ +
-      s""""dropna": true, "is_fitted": true, "values": $values, "content": $contentStr, """ +
+      s""""dropna": ${!(f.hasNan && f.nanBin < 0 && !f.dropped)}, "is_fitted": true, "values": $values, "content": $contentStr, """ +
       s""""is_qualitative": ${f.kind != "quantitative"}, "is_quantitative": ${f.kind == "quantitative"}, """ +
       s""""is_categorical": ${f.kind == "categorical"}, "is_ordinal": ${f.kind == "ordinal"}, "is_nested": ${f.kind == "nested"}, """ +
       (if (f.kind == "nested") s""""parents": [${f.parents.map(p => "\"" + esc(p) + "\"").mkString(", ")}], "max_n_chars": 50, """ else "") +

@@ -207,7 +207,10 @@ object Search {
         v.minFreqOk, v.distinctOk, v.orderingOk, withNan, info)
     }
     // ---- phase 1: non-nan consecutive partitions -------------------------
-    val rawLabels0 = if (hasNan && dropna) train.labels.filterNot(_ == nanLabel) else train.labels
+    // NaN never participates in the consecutive search: under dropna=true it
+    // joins via the phase-2 fan-out; under dropna=false it can only ever be
+    // split off whole (the all-vs-NaN rescue below)
+    val rawLabels0 = if (hasNan) train.labels.filterNot(_ == nanLabel) else train.labels
     val trainNoNan = if (hasNan) train.without(nanLabel) else train
     val devNoNan = if (hasNan) dev.map(_.without(nanLabel)) else dev
     val foldsNoNan = if (hasNan) folds.map(_.without(nanLabel)) else folds

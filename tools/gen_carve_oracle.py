@@ -423,6 +423,40 @@ print("reference selector kept (sf0.1):", sorted(kept01))
 fix_rows01 = ",".join(
     f"('{f}', '{kind[f]}', '{'kept' if f in kept01 else 'dropped'}')"
     for f in ["n_chars", "doc_id", "lang", "source"])
+
+# ------------------------------------------------------------ q_carve_dropna
+# ProcessingConfig(dropna=False): NaN never joins a bin and stays raw in the
+# transform output; fit + transform pinned on columns with injected nulls
+# (lang_nan: every 5th doc; nc_nan: every 7th doc).
+from AutoCarver.discretizers import ProcessingConfig
+
+Xdn = docs[["n_chars", "lang"]].copy()
+Xdn["lang_nan"] = np.where(docs["doc_id"] % 5 == 0, None, docs["lang"])
+Xdn["nc_nan"] = np.where(docs["doc_id"] % 7 == 0, np.nan, docs["n_chars"].astype(float))
+Xdn = Xdn[["lang_nan", "nc_nan"]]
+dnc = AC.BinaryCarver(Features(categoricals=["lang_nan"], numericals=["nc_nan"]),
+                      min_freq=0.02, max_n_mod=5,
+                      config=ProcessingConfig(dropna=False, ordinal_encoding=True, copy=True))
+dnc.fit(Xdn.copy(), y_bin)
+rows = fit_rows(dnc, [f.name for f in dnc.features])
+oracle["q_carve_dropna"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "rate", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_dropna rows:", len(rows), "kept:", [f.name for f in dnc.features])
+
+# transform: null codes must stay null (unfillna) — pinned WIDE per doc_id
+dtr = dnc.transform(Xdn.copy())
+dnrows = []
+for i, d in enumerate(docs["doc_id"]):
+    def code(c):
+        v = dtr[c].iloc[i]
+        return None if pd.isna(v) else int(v)
+    dnrows.append((int(d), code("lang_nan"), code("nc_nan")))
+oracle["q_carve_dropna_transform"] = sql_values(dnrows,
+    ["doc_id", "lang_nan_bin", "nc_nan_bin"],
+    ["BIGINT", "INTEGER", "INTEGER"])
+print("q_carve_dropna_transform rows:", len(dnrows),
+      "nulls:", int(dtr["lang_nan"].isna().sum()), int(dtr["nc_nan"].isna().sum()))
 oracle["q_select_sf01"] = f"""WITH d AS (
   SELECT CAST(n_chars AS DOUBLE) AS nc, CAST(doc_id AS DOUBLE) AS di, lang, source,
          CASE WHEN n_chars > 300 THEN 1 ELSE 0 END AS y
