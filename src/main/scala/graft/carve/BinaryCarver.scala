@@ -638,9 +638,10 @@ object BinaryCarver {
     // (fold key = one more groupBy column; the total is the fold sum)
     val (trainHist, foldHists) =
       if (config.cv > 1)
-        histogramWithFolds(train, target, specs, config.cv, sketched, Option(config.foldCol))
-      else (histogram(train, target, specs, sketched), Nil)
-    val devHist = dev.map(d => histogram(d, target, specs, sketched))
+        histogramWithFolds(train, target, specs, config.cv, sketched, Option(config.foldCol),
+          requireBinaryY = true)
+      else (histogram(train, target, specs, sketched, requireBinaryY = true), Nil)
+    val devHist = dev.map(d => histogram(d, target, specs, sketched, requireBinaryY = true))
     fitFromHistograms(trainHist, devHist, target, specs, config, foldHists)
   }
 
@@ -705,15 +706,28 @@ object BinaryCarver {
     */
   def histogramWithFolds(df: DataFrame, target: String, specs: Seq[FeatureSpec], cv: Int,
       sketched: Map[String, Vector[Double]] = Map.empty,
-      foldCol: Option[String] = None)
+      foldCol: Option[String] = None,
+      requireBinaryY: Boolean = false)
       : (Map[String, Array[HistRow]], Seq[Map[String, Array[HistRow]]]) = {
     val y = col(target).cast("double")
     val long = df.select(explode(array(histEntries(specs, sketched): _*)).as("e"), y.as("__y"),
       foldExpr(specs, target, cv, foldCol).as("__fold"))
+    // same opt-in binary-target contract as [[histogram]] (shared scan)
+    val checkAggs =
+      if (requireBinaryY) Seq(
+        sum(col("__y").isNull.cast("long")).as("yNull"),
+        sum((col("__y") =!= 0.0 && col("__y") =!= 1.0).cast("long")).as("yNonBin"))
+      else Nil
     val agg = long
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"), col("__fold"))
-      .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("sy"))
+      .agg(count(lit(1)).as("cnt"), (sum(col("__y")).as("sy") +: checkAggs): _*)
       .collect()
+    if (requireBinaryY) {
+      require(!agg.exists(r => r.getLong(6) > 0),
+        s"[BinaryCarver] y ('$target') should not contain NaN/null")
+      require(!agg.exists(r => !r.isNullAt(7) && r.getLong(7) > 0),
+        s"[BinaryCarver] y ('$target') must be binary (values 0/1); use Continuous/Multiclass/OrdinalCarver for other targets")
+    }
     val folds = Vector.fill(cv)(mutable.Map.empty[String, mutable.ArrayBuffer[HistRow]])
     // total accumulator keyed by (fid, value-bits, sv): NaN-safe via doubleToLongBits
     val total = mutable.LinkedHashMap.empty[(String, Long, String), (Boolean, Long, Double)]
@@ -846,13 +860,32 @@ object BinaryCarver {
     * keeps the shuffle at (features × cardinality) rows.
     */
   def histogram(df: DataFrame, target: String, specs: Seq[FeatureSpec],
-      sketched: Map[String, Vector[Double]] = Map.empty): Map[String, Array[HistRow]] = {
+      sketched: Map[String, Vector[Double]] = Map.empty,
+      requireBinaryY: Boolean = false): Map[String, Array[HistRow]] = {
     val y = col(target).cast("double")
     val long = df.select(explode(array(histEntries(specs, sketched): _*)).as("e"), y.as("__y"))
+    // requireBinaryY (the binary FIT paths only — this histogram is shared
+    // with the continuous/selector scans): the target contract rides the
+    // SAME aggregation (two conditional sums, no extra scan). The reference
+    // raises on NaN y and on values outside {0, 1}
+    // (`base_discretizer._prepare_y`, `test_binary_carver` prepare_samples)
+    // — without this, sum(y) silently computes garbage rates for a
+    // multiclass y.
+    val checkAggs =
+      if (requireBinaryY) Seq(
+        sum(col("__y").isNull.cast("long")).as("yNull"),
+        sum((col("__y") =!= 0.0 && col("__y") =!= 1.0).cast("long")).as("yNonBin"))
+      else Nil
     val agg = long
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"))
-      .agg(count(lit(1)).as("cnt"), sum(col("__y")).as("sy"))
+      .agg(count(lit(1)).as("cnt"), (sum(col("__y")).as("sy") +: checkAggs): _*)
       .collect()
+    if (requireBinaryY) {
+      require(!agg.exists(r => r.getLong(5) > 0),
+        s"[BinaryCarver] y ('$target') should not contain NaN/null")
+      require(!agg.exists(r => !r.isNullAt(6) && r.getLong(6) > 0),
+        s"[BinaryCarver] y ('$target') must be binary (values 0/1); use Continuous/Multiclass/OrdinalCarver for other targets")
+    }
     val byFid = mutable.Map.empty[String, mutable.ArrayBuffer[HistRow]]
     agg.foreach { r =>
       val fid = r.getString(0)

@@ -60,6 +60,18 @@ class TargetGuardSpec extends SparkSuite {
     }
   }
 
+  test("binary carver rejects a non-binary or null-bearing target (no silent garbage rates)") {
+    val spec = Seq(BinaryCarver.FeatureSpec("c", "categorical"))
+    val multi = (0 until 60).map(i => (i % 3, Vector("a", "b")(i % 2))).toDF("y", "c")
+    val e = intercept[IllegalArgumentException](BinaryCarver.fit(multi, "y", spec))
+    assert(e.getMessage.contains("must be binary"), e.getMessage)
+    val withNull = (0 until 60)
+      .map(i => (if (i == 7) null else Integer.valueOf(i % 2), Vector("a", "b")(i % 2)))
+      .toDF("y", "c")
+    val e2 = intercept[IllegalArgumentException](BinaryCarver.fit(withNull, "y", spec))
+    assert(e2.getMessage.contains("NaN/null"), e2.getMessage)
+  }
+
   test("max_n_mod < 2 is rejected at construction in every family config") {
     intercept[IllegalArgumentException](BinaryCarver.Config(maxNMod = 1))
     intercept[IllegalArgumentException](OrdinalCarver.Config(maxNMod = 1))
