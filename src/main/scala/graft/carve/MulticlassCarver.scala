@@ -74,6 +74,10 @@ object MulticlassCarver {
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"), col("__y"))
       .agg(count(lit(1)).as("cnt"))
       .collect()
+    // reference validate_multiclass_target: NaN y raises (a null here would
+    // otherwise become a class -- or NPE in the sort below)
+    require(!agg.exists(_.isNullAt(3)),
+      s"[MulticlassCarver] y ('$target') should not contain null")
     val classes = agg.map(_.getString(3)).distinct.sorted.toVector
     val classIdx = classes.zipWithIndex.toMap
     val byFid = mutable.Map.empty[String, mutable.ArrayBuffer[KHistRow]]
@@ -108,6 +112,8 @@ object MulticlassCarver {
         col("__y"), col("__fold"))
       .agg(count(lit(1)).as("cnt"))
       .collect()
+    require(!agg.exists(_.isNullAt(3)),
+      s"[MulticlassCarver] y ('$target') should not contain null")
     val classes = agg.map(_.getString(3)).distinct.sorted.toVector
     val classIdx = classes.zipWithIndex.toMap
     val folds = Vector.fill(cv)(mutable.Map.empty[String, mutable.ArrayBuffer[KHistRow]])
@@ -165,8 +171,13 @@ object MulticlassCarver {
     // in the reference's ca_row_scores; here the histogram mapping raises)
     val devHist = dev.map { d =>
       val (h, devClasses) = histogramM(d, target, specs, sketched)
+      // reference validate_multiclass_target raises on a mismatch in EITHER
+      // direction -- a dev sample missing a train class would silently score
+      // that class as all-zero otherwise
       val unseen = devClasses.filterNot(classes.contains)
-      require(unseen.isEmpty, s"[MulticlassCarver] dev target carries unseen classes $unseen")
+      val missing = classes.filterNot(devClasses.contains)
+      require(unseen.isEmpty && missing.isEmpty,
+        s"[MulticlassCarver] Mismatched classes between y and y_dev: train-only $missing, dev-only $unseen")
       val remap = devClasses.zipWithIndex.map { case (c, i) => i.toDouble -> classes.indexOf(c).toDouble }.toMap
       h.view.mapValues(_.map(r => r.copy(level = remap(r.level)))).toMap
     }
@@ -507,6 +518,13 @@ object OneVsRestCarver {
     val carved = classes.drop(1) // reference drops the first sorted class
     val devK = dev.map { d =>
       val (h, devClasses) = MulticlassCarver.histogramM(d, target, specs, sketched)
+      // reference validate_multiclass_target: class-set mismatch in either
+      // direction raises (a missing dev class would silently binarize to
+      // an all-zero dev target for that class's fit)
+      val devOnly = devClasses.filterNot(classes.contains)
+      val trainOnly = classes.filterNot(devClasses.contains)
+      require(devOnly.isEmpty && trainOnly.isEmpty,
+        s"[OneVsRestCarver] Mismatched classes between y and y_dev: train-only $trainOnly, dev-only $devOnly")
       (h, devClasses)
     }
     val perClass = carved.map { yClass =>

@@ -81,6 +81,11 @@ object OrdinalCarver {
       .groupBy(col("e.fid").as("fid"), col("e.dv").as("dv"), col("e.sv").as("sv"), col("__y"))
       .agg(count(lit(1)).as("cnt"))
       .collect()
+    // reference OrdinalCarver._prepare_samples: y must be a numeric
+    // integer-encoded ordinal with no NaN -- a null here is either a real
+    // null or a non-numeric value nulled by the cast
+    require(!agg.exists(_.isNullAt(3)),
+      s"[OrdinalCarver] y ('$target') must be an integer-encoded numeric ordinal with no nulls")
     val byFid = mutable.Map.empty[String, mutable.ArrayBuffer[KHistRow]]
     agg.foreach { r =>
       val dvNull = r.isNullAt(1)
@@ -112,6 +117,8 @@ object OrdinalCarver {
         col("__y"), col("__fold"))
       .agg(count(lit(1)).as("cnt"))
       .collect()
+    require(!agg.exists(_.isNullAt(3)),
+      s"[OrdinalCarver] y ('$target') must be an integer-encoded numeric ordinal with no nulls")
     val folds = Vector.fill(cv)(mutable.Map.empty[String, mutable.ArrayBuffer[KHistRow]])
     val total = mutable.LinkedHashMap.empty[(String, Long, String, Double), (Boolean, Long)]
     agg.foreach { r =>
@@ -148,6 +155,12 @@ object OrdinalCarver {
     val guarded = BinaryCarver.guardTarget(target, specs)
     if (guarded.length != specs.length) return fit(train, target, guarded, dev, config)
     BinaryCarver.validateInputs(train, target, specs)
+    // reference OrdinalCarver._prepare_samples: non-numeric y is a typed
+    // error up front (the ANSI cast in the histogram would throw a raw
+    // CAST_INVALID_INPUT otherwise)
+    require(train.schema(target).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"[OrdinalCarver] y ('$target') must be an integer-encoded numeric ordinal Series; " +
+        s"got ${train.schema(target).dataType.simpleString} — integer-encode the ordered target (e.g. 1..K) first")
     val sketched = BinaryCarver.sketchHighCardinality(train, specs,
       BinaryCarver.Config(minFreq = config.minFreq,
         sketchCardinalityThreshold = config.sketchCardinalityThreshold,
@@ -168,6 +181,12 @@ object OrdinalCarver {
       foldHists: Seq[Map[String, Array[KHistRow]]] = Nil
   ): Model = {
     require(specs.nonEmpty, "no features to carve")
+    // reference OrdinalCarver._prepare_samples: >2 integer-encoded levels
+    val yLevels = trainHist.values.iterator.flatMap(_.iterator.map(_.level)).toSet
+    require(yLevels.size > 2,
+      s"[OrdinalCarver] provided y has ${yLevels.size} levels, consider using BinaryCarver instead")
+    require(yLevels.forall(l => l == math.rint(l)),
+      "[OrdinalCarver] y must be integer-encoded ordered levels (e.g. 1..K); got non-integer values")
     val histRows = trainHist.values.map(_.length.toLong).sum
     require(histRows <= config.maxHistogramRows,
       s"histogram too large ($histRows rows) — use the sketch prebin path for high-cardinality columns")

@@ -72,6 +72,39 @@ class TargetGuardSpec extends SparkSuite {
     assert(e2.getMessage.contains("NaN/null"), e2.getMessage)
   }
 
+  test("ordinal carver rejects <=2-level, non-integer and null-bearing targets") {
+    val spec = Seq(BinaryCarver.FeatureSpec("c", "categorical"))
+    val twoLevel = (0 until 60).map(i => (i % 2 + 1, Vector("a", "b", "c")(i % 3))).toDF("y", "c")
+    val e = intercept[IllegalArgumentException](OrdinalCarver.fit(twoLevel, "y", spec))
+    assert(e.getMessage.contains("2 levels"), e.getMessage)
+    val nonInt = (0 until 60).map(i => ((i % 3) + 0.5, Vector("a", "b", "c")(i % 3))).toDF("y", "c")
+    val e2 = intercept[IllegalArgumentException](OrdinalCarver.fit(nonInt, "y", spec))
+    assert(e2.getMessage.contains("integer-encoded"), e2.getMessage)
+    val strY = (0 until 60).map(i => (Vector("lo", "mid", "hi")(i % 3), Vector("a", "b", "c")(i % 3))).toDF("y", "c")
+    val e3 = intercept[IllegalArgumentException](OrdinalCarver.fit(strY, "y", spec))
+    assert(e3.getMessage.contains("integer-encode"), e3.getMessage)
+  }
+
+  test("multiclass / one-vs-rest reject null y and train/dev class-set mismatches") {
+    val spec = Seq(BinaryCarver.FeatureSpec("c", "categorical"))
+    def frame(classes: Seq[String]) = (0 until 90)
+      .map(i => (classes(i % classes.length), Vector("a", "b", "c")(i % 3))).toDF("y", "c")
+    val nullY = (0 until 90)
+      .map(i => (if (i == 5) null else Vector("x", "y", "z")(i % 3), Vector("a", "b", "c")(i % 3)))
+      .toDF("y", "c")
+    val e = intercept[IllegalArgumentException](MulticlassCarver.fit(nullY, "y", spec))
+    assert(e.getMessage.contains("should not contain null"), e.getMessage)
+    // dev missing a train class raises in BOTH family fits (either direction)
+    val train = frame(Seq("x", "y", "z"))
+    val devMissing = frame(Seq("x", "y"))
+    val e2 = intercept[IllegalArgumentException](
+      MulticlassCarver.fit(train, "y", spec, dev = Some(devMissing)))
+    assert(e2.getMessage.contains("Mismatched classes"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      OneVsRestCarver.fit(train, "y", spec, dev = Some(devMissing)))
+    assert(e3.getMessage.contains("Mismatched classes"), e3.getMessage)
+  }
+
   test("max_n_mod < 2 is rejected at construction in every family config") {
     intercept[IllegalArgumentException](BinaryCarver.Config(maxNMod = 1))
     intercept[IllegalArgumentException](OrdinalCarver.Config(maxNMod = 1))
