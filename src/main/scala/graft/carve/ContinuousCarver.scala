@@ -30,6 +30,10 @@ object ContinuousCarver {
     require(config.dropna,
       "[ContinuousCarver] dropna=false is only supported by the binary/OvR search path")
     BinaryCarver.validateInputs(train, target, specs)
+    // reference: y must be numeric for a continuous fit (a string y would
+    // otherwise surface as a raw ANSI cast error inside the rank job)
+    require(train.schema(target).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"[ContinuousCarver] y ('$target') must be numeric; got ${train.schema(target).dataType.simpleString}")
     val halfMinFreq = config.minFreq / 2.0
     val q = math.rint(1.0 / halfMinFreq).toInt
 
@@ -195,9 +199,15 @@ object ContinuousCarver {
     val bucketCol = graft.transform.BinarySearchBucketize.column(
       col("y"), ySplits.toVector, ySplits.indices.toVector :+ ySplits.length, nanBin = -1)
     val yhB = yh.withColumn("bucket", bucketCol)
-    val perBucket = yhB.groupBy(col("fid"), col("bucket"))
+    val perBucketRows = yhB.groupBy(col("fid"), col("bucket"))
       .agg(sum(col("ca")).as("na"), sum(col("cs")).as("ns"))
       .collect()
+    // a null bucket is exactly a null/NaN y row (BucketizeExpr nanBin=-1):
+    // the reference raises on NaN y (`base_discretizer._prepare_y`) — and
+    // a null here would NPE in the offset sort below
+    require(!perBucketRows.exists(_.isNullAt(1)),
+      s"[ContinuousCarver] y ('$target') should not contain NaN/null")
+    val perBucket = perBucketRows
       .groupBy(_.getString(0))
       .map { case (fid, rows) =>
         val sorted = rows.sortBy(_.getInt(1))

@@ -36,6 +36,8 @@ object MulticlassCarver {
       history: Boolean = true
   ) {
     require(maxNMod >= 2, s"max_n_mod must be >= 2, got $maxNMod")
+    // sklearn check_cv raises for a single split; 0 disables CV here
+    require(cv == 0 || cv >= 2, s"cv=1 is not enough splits for k-fold cross-validation; use cv >= 2 (or 0 to disable), got $cv")
   }
 
   final case class MFitted(feature: FittedFeature, cramerv: Double, tschuprowt: Double,

@@ -85,6 +85,18 @@ class TargetGuardSpec extends SparkSuite {
     assert(e3.getMessage.contains("integer-encode"), e3.getMessage)
   }
 
+  test("continuous carver rejects non-numeric and null-bearing targets") {
+    val spec = Seq(BinaryCarver.FeatureSpec("c", "categorical"))
+    val strY = (0 until 60).map(i => (s"v$i", Vector("a", "b")(i % 2))).toDF("y", "c")
+    val e = intercept[IllegalArgumentException](ContinuousCarver.fit(strY, "y", spec))
+    assert(e.getMessage.contains("must be numeric"), e.getMessage)
+    val nullY = (0 until 60)
+      .map(i => (if (i == 3) null else java.lang.Double.valueOf(i.toDouble), Vector("a", "b")(i % 2)))
+      .toDF("y", "c")
+    val e2 = intercept[IllegalArgumentException](ContinuousCarver.fit(nullY, "y", spec))
+    assert(e2.getMessage.contains("NaN/null"), e2.getMessage)
+  }
+
   test("multiclass / one-vs-rest reject null y and train/dev class-set mismatches") {
     val spec = Seq(BinaryCarver.FeatureSpec("c", "categorical"))
     def frame(classes: Seq[String]) = (0 until 90)
@@ -109,5 +121,13 @@ class TargetGuardSpec extends SparkSuite {
     intercept[IllegalArgumentException](BinaryCarver.Config(maxNMod = 1))
     intercept[IllegalArgumentException](OrdinalCarver.Config(maxNMod = 1))
     intercept[IllegalArgumentException](MulticlassCarver.Config(maxNMod = 0))
+  }
+
+  test("cv=1 is rejected at construction (not enough splits; 0 disables CV)") {
+    intercept[IllegalArgumentException](BinaryCarver.Config(cv = 1))
+    intercept[IllegalArgumentException](OrdinalCarver.Config(cv = 1))
+    intercept[IllegalArgumentException](MulticlassCarver.Config(cv = 1))
+    BinaryCarver.Config(cv = 0)
+    BinaryCarver.Config(cv = 3)
   }
 }
