@@ -69,7 +69,13 @@ object BinaryCarver {
       // checks feature.values, never the full label_per_value)
       leaderToBin: Map[String, Int] = Map.empty,
       // per-candidate search history (evaluation order); not serialized
-      history: Vector[Search.HistoryEntry] = Vector.empty
+      history: Vector[Search.HistoryEntry] = Vector.empty,
+      // fit-time Config.dropna (X3): the reference sets feature._dropna
+      // False for EVERY feature fitted under ProcessingConfig(dropna=False)
+      // (`base_discretizer.py:715-733` fillna path), and a reference-side
+      // reload reads it to decide whether new NaNs are filled to the NaN
+      // label or left raw — carried explicitly, never inferred from nanBin
+      fitDropna: Boolean = true
   ) {
     def nBins: Int = binLabels.length
   }
@@ -616,7 +622,15 @@ object BinaryCarver {
       // for viability when the non-NaN search finds nothing (informative
       // missingness, `tests/carvers/test_nan_vs_values.py`), but transform
       // leaves NaN raw (null bin code, the reference's unfillna)
-      dropna: Boolean = true
+      dropna: Boolean = true,
+      // continuous target_median rate (R4) cardinality gate: the exact
+      // per-(modality, y) histogram collect is O(distinct-y) on the driver
+      // — for a genuinely continuous y at web scale that is the dataset.
+      // Above this distinct-y count the median switches to a fixed
+      // percentile_approx grid per modality (survey §2.5 R4's sanctioned
+      // deviation): bounded by modalities × grid size regardless of y's
+      // cardinality, mergeable across adjacent bins like the exact one.
+      medianExactMaxDistinctY: Long = 100000L
   ) {
     // max_n_mod=1 would carve every feature into one constant modality: no
     // combination viable, everything dropped (`base_carver.py:300`)
@@ -700,6 +714,20 @@ object BinaryCarver {
       case None => foldKeyExpr(specs, target, cv)
     }
 
+  /** Validates one collected fold id — shared by every family's fold
+    * histogram loop so a user fold column with nulls or out-of-range ids
+    * raises the same typed error everywhere (instead of an NPE or a
+    * silently truncated array index).
+    */
+  def checkFoldId(r: org.apache.spark.sql.Row, idx: Int, cv: Int, family: String): Int = {
+    require(!r.isNullAt(idx),
+      s"[$family] fold column carries nulls — every row needs a fold id in [0, cv)")
+    val raw = r.getLong(idx)
+    require(raw >= 0 && raw < cv,
+      s"[$family] fold id $raw outside [0, $cv) — foldCol must carry integer folds 0..cv-1")
+    raw.toInt
+  }
+
   /** Train histogram + all `cv` fold histograms from ONE cluster pass: the
     * fold key is one more groupBy column, each held-out fold's view is the
     * rows carrying its key, and the full-train histogram is the sum over
@@ -739,11 +767,7 @@ object BinaryCarver {
       val svNull = r.isNullAt(2)
       val dv = if (dvNull) Double.NaN else r.getDouble(1)
       val sv = if (svNull) null else r.getString(2)
-      require(!r.isNullAt(3),
-        "[BinaryCarver] fold column carries nulls — every row needs a fold id in [0, cv)")
-      val f = r.getLong(3).toInt
-      require(f >= 0 && f < cv,
-        s"[BinaryCarver] fold id $f outside [0, $cv) — foldCol must carry integer folds 0..cv-1")
+      val f = checkFoldId(r, 3, cv, "BinaryCarver")
       val cnt = r.getLong(4)
       val sy = if (r.isNullAt(5)) 0.0 else r.getDouble(5)
       folds(f).getOrElseUpdate(fid, mutable.ArrayBuffer.empty) += HistRow(dv, sv, dvNull && svNull, cnt, sy)
@@ -1155,7 +1179,8 @@ object BinaryCarver {
         FittedFeature(spec.name, p.kind, p.prebinEdges, Vector.empty, Map.empty,
           -1, -1, p.hasNan, p.hasDefault, Vector.empty, Double.NaN, Double.NaN,
           Vector.empty, dropped = true, droppedReason = "no viable combination",
-          history = if (histBuf == null) Vector.empty else histBuf.toVector)
+          history = if (histBuf == null) Vector.empty else histBuf.toVector,
+          fitDropna = config.dropna)
       case Some(b) =>
         // final bin index per search label
         val labelToBin: Map[String, Int] =
@@ -1167,7 +1192,8 @@ object BinaryCarver {
           FittedFeature(spec.name, p.kind, p.prebinEdges, prebinToBin, Map.empty,
             nanBin, -1, p.hasNan, p.hasDefault, binLabels, b.cramerv, b.tschuprowt,
             b.rates, dropped = false, droppedReason = "",
-            history = if (histBuf == null) Vector.empty else histBuf.toVector)
+            history = if (histBuf == null) Vector.empty else histBuf.toVector,
+            fitDropna = config.dropna)
         } else {
           val valueToBin = p.valueToRaw.collect {
             case (v, raw) if labelToBin.contains(raw) => v -> labelToBin(raw)
@@ -1201,7 +1227,8 @@ object BinaryCarver {
             ordinalOrder = if (p.kind == "ordinal") spec.ordinalOrder.toVector else Vector.empty,
             parents = if (p.kind == "nested") spec.parents.toVector else Vector.empty,
             leaderToBin = leaderToBin,
-            history = if (histBuf == null) Vector.empty else histBuf.toVector)
+            history = if (histBuf == null) Vector.empty else histBuf.toVector,
+            fitDropna = config.dropna)
         }
     }
   }

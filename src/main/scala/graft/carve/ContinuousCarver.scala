@@ -61,7 +61,13 @@ object ContinuousCarver {
 
     // ---- pass 2: rank stats per (feature, modality), both rank bases
     val withMedians = config.rateStrategy == "target_median"
-    val rankStats = rankStatsJob(train, target, specs, prep, withMedians)
+    // R4 cardinality gate (same shape as sketchHighCardinality): the exact
+    // median histogram collect is O(distinct-y) driver-side — route a
+    // high-cardinality y through the percentile_approx grid instead
+    val approxMedian = withMedians &&
+      train.agg(approx_count_distinct(col(target))).head().getLong(0) >
+        config.medianExactMaxDistinctY
+    val rankStats = rankStatsJob(train, target, specs, prep, withMedians, approxMedian)
 
     // ---- dev pass: (n, Σy) per modality is all the vetoes need
     val devHist = dev.map(d => BinaryCarver.histogram(d, target, specs, sketched))
@@ -72,14 +78,25 @@ object ContinuousCarver {
         val y = col(target).cast("double")
         val foldKey = BinaryCarver.foldExpr(specs, target, config.cv, Option(config.foldCol))
         val entries = specs.map(sp => struct(lit(sp.name).as("fid"), labelExpr(sp, prep(sp.name)).as("lbl")))
-        val rows = train.withColumn("__fold", foldKey)
+        val long = train.withColumn("__fold", foldKey)
           .select(col("__fold"), explode(array(entries: _*)).as("e"), y.as("y"))
-          .groupBy(col("__fold"), col("e.fid").as("fid"), col("e.lbl").as("lbl"), col("y"))
-          .agg(count(lit(1)).as("c")).collect()
-        (0 until config.cv).map { f =>
-          rows.filter(_.getLong(0) == f).groupBy(_.getString(1)).view.mapValues { rs =>
-            rs.groupBy(_.getString(2)).view.mapValues(_.map(r => (r.getDouble(3), r.getLong(4).toDouble)).toArray).toMap
-          }.toMap: Map[String, Map[String, Array[(Double, Double)]]]
+          .select(col("__fold"), col("e.fid").as("fid"), col("e.lbl").as("lbl"), col("y"))
+        if (approxMedian) {
+          val rows = long.groupBy(col("__fold"), col("fid"), col("lbl"))
+            .agg(count(lit(1)).as("n"), medianGridAgg(col("y"))).collect()
+          (0 until config.cv).map { f =>
+            rows.filter(_.getLong(0) == f).groupBy(_.getString(1)).view.mapValues { rs =>
+              rs.map(r => r.getString(2) -> synthHist(r.getLong(3), r.getSeq[Double](4))).toMap
+            }.toMap: Map[String, Map[String, Array[(Double, Double)]]]
+          }
+        } else {
+          val rows = long.groupBy(col("__fold"), col("fid"), col("lbl"), col("y"))
+            .agg(count(lit(1)).as("c")).collect()
+          (0 until config.cv).map { f =>
+            rows.filter(_.getLong(0) == f).groupBy(_.getString(1)).view.mapValues { rs =>
+              rs.groupBy(_.getString(2)).view.mapValues(_.map(r => (r.getDouble(3), r.getLong(4).toDouble)).toArray).toMap
+            }.toMap: Map[String, Map[String, Array[(Double, Double)]]]
+          }
         }
       }
     val devYHists: Map[String, Map[String, Array[(Double, Double)]]] =
@@ -87,12 +104,9 @@ object ContinuousCarver {
       else dev.map { d =>
         val y = col(target).cast("double")
         val entries = specs.map(s => struct(lit(s.name).as("fid"), labelExpr(s, prep(s.name)).as("lbl")))
-        val rows = d.select(explode(array(entries: _*)).as("e"), y.as("y"))
-          .groupBy(col("e.fid").as("fid"), col("e.lbl").as("lbl"), col("y"))
-          .agg(count(lit(1)).as("c")).collect()
-        rows.groupBy(_.getString(0)).view.mapValues { rs =>
-          rs.groupBy(_.getString(1)).view.mapValues(_.map(r => (r.getDouble(2), r.getLong(3).toDouble)).toArray).toMap
-        }.toMap: Map[String, Map[String, Array[(Double, Double)]]]
+        val long = d.select(explode(array(entries: _*)).as("e"), y.as("y"))
+          .select(col("e.fid").as("fid"), col("e.lbl").as("lbl"), col("y"))
+        yHistsOf(long, approxMedian)
       }.getOrElse(Map.empty)
 
     import scala.concurrent.{Await, Future, ExecutionContext}
@@ -166,7 +180,8 @@ object ContinuousCarver {
       target: String,
       specs: Seq[FeatureSpec],
       prep: Map[String, Prep],
-      withMedians: Boolean = false
+      withMedians: Boolean = false,
+      approxMedian: Boolean = false
   ): Map[String, (Continuous.RankXagg, Continuous.RankXagg, Map[String, (Double, Double, Double)])] = {
     val y = col(target).cast("double")
     val entries = specs.map { s =>
@@ -265,15 +280,11 @@ object ContinuousCarver {
     }
 
     // per-(feature, modality) y histogram for the median rate (R4): one more
-    // grouped collect, bounded by modalities x distinct-y
+    // grouped collect — bounded by modalities × distinct-y on the exact
+    // path, by modalities × the percentile grid on the gated approx path
     val yHists: Map[String, Map[String, Array[(Double, Double)]]] =
       if (!withMedians) Map.empty
-      else {
-        val h = long.groupBy(col("fid"), col("lbl"), col("y")).agg(count(lit(1)).as("c")).collect()
-        h.groupBy(_.getString(0)).view.mapValues { rows =>
-          rows.groupBy(_.getString(1)).view.mapValues(_.map(r => (r.getDouble(2), r.getLong(3).toDouble)).toArray).toMap
-        }.toMap
-      }
+      else yHistsOf(long, approxMedian)
 
     specs.map { s =>
       val p = prep(s.name)
@@ -295,6 +306,60 @@ object ContinuousCarver {
       s.name -> ((mk(subLabels, useSub = true, tcs), mk(fullLabels, useSub = false, tca), moments))
     }.toMap
   }
+
+  // ------------------------------------------- target_median y histograms
+
+  /** percentile grid resolution for the gated approx-median path: 201
+    * points → rank error ≤ 1/(2·200) = 0.25% of a modality's mass, far
+    * below carving granularity (min_freq is ≥ 1%-scale)
+    */
+  private[carve] val MedianGridK = 200
+  private[carve] val MedianAccuracy = 10000
+
+  private def medianGridAgg(y: Column): Column = {
+    val probs = (0 to MedianGridK).map(_.toDouble / MedianGridK)
+    percentile_approx(y, typedlit(probs), lit(MedianAccuracy)).as("qs")
+  }
+
+  /** Synthetic integer-weighted histogram from a modality's percentile grid:
+    * the n observations spread evenly over the K+1 grid values (remainder
+    * to the leading slots, duplicates merged). Mergeable across adjacent
+    * bins exactly like the exact histogram, and [[Continuous.weightedMedian]]
+    * over it approximates the true median within the grid spacing.
+    */
+  private[carve] def synthHist(n: Long, qs: Seq[Double]): Array[(Double, Double)] = {
+    if (qs == null || qs.isEmpty || n <= 0L) return Array.empty
+    val k = qs.length
+    val base = n / k
+    val rem = (n % k).toInt
+    val acc = mutable.LinkedHashMap.empty[Double, Double]
+    var i = 0
+    while (i < k) {
+      val w = (base + (if (i < rem) 1L else 0L)).toDouble
+      if (w > 0) acc(qs(i)) = acc.getOrElse(qs(i), 0.0) + w
+      i += 1
+    }
+    acc.toArray
+  }
+
+  /** Per-(feature, modality) y histogram over a `(fid, lbl, y)` frame —
+    * exact grouped counts below the cardinality gate, the percentile grid
+    * above it (the collect is then bounded by modalities × (K+1) no matter
+    * how continuous y is).
+    */
+  private def yHistsOf(long: DataFrame, approx: Boolean): Map[String, Map[String, Array[(Double, Double)]]] =
+    if (approx) {
+      val h = long.groupBy(col("fid"), col("lbl"))
+        .agg(count(lit(1)).as("n"), medianGridAgg(col("y"))).collect()
+      h.groupBy(_.getString(0)).view.mapValues { rows =>
+        rows.map(r => r.getString(1) -> synthHist(r.getLong(2), r.getSeq[Double](3))).toMap
+      }.toMap
+    } else {
+      val h = long.groupBy(col("fid"), col("lbl"), col("y")).agg(count(lit(1)).as("c")).collect()
+      h.groupBy(_.getString(0)).view.mapValues { rows =>
+        rows.groupBy(_.getString(1)).view.mapValues(_.map(r => (r.getDouble(2), r.getLong(3).toDouble)).toArray).toMap
+      }.toMap
+    }
 
   private def searchContinuous(
       spec: FeatureSpec,

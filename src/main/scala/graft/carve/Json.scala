@@ -57,7 +57,8 @@ object Json {
         ("stds" -> f.stds.map(num)) ~
         ("ordinal_order" -> f.ordinalOrder) ~
         ("parents" -> f.parents) ~
-        ("leader_to_bin" -> JObject(f.leaderToBin.toList.sortBy(_._1).map { case (k, v) => k -> JInt(v) }))
+        ("leader_to_bin" -> JObject(f.leaderToBin.toList.sortBy(_._1).map { case (k, v) => k -> JInt(v) })) ~
+        ("fit_dropna" -> f.fitDropna)
       })
     JsonMethods.pretty(JsonMethods.render(json))
   }
@@ -102,7 +103,9 @@ object Json {
         leaderToBin = (f \ "leader_to_bin") match {
           case JObject(fields) => fields.map { case (k, v) => k -> int(v) }.toMap
           case _ => Map.empty
-        }
+        },
+        // absent in pre-r6 artifacts -> the dropna=true default
+        fitDropna = (f \ "fit_dropna") match { case JBool(b) => b; case _ => true }
       )
     }.toVector
     BinaryCarver.Model(

@@ -127,7 +127,7 @@ object MulticlassCarver {
       val dv = if (dvNull) Double.NaN else r.getDouble(1)
       val sv = if (svNull) null else r.getString(2)
       val ci = classIdx(r.getString(3))
-      val f = r.getLong(4).toInt
+      val f = BinaryCarver.checkFoldId(r, 4, cv, "MulticlassCarver")
       val cnt = r.getLong(5)
       folds(f).getOrElseUpdate(fid, mutable.ArrayBuffer.empty) +=
         KHistRow(dv, sv, dvNull && svNull, ci.toDouble, cnt)

@@ -130,7 +130,7 @@ object OrdinalCarver {
       val dv = if (dvNull) Double.NaN else r.getDouble(1)
       val sv = if (svNull) null else r.getString(2)
       val level = r.getDouble(3)
-      val f = r.getLong(4).toInt
+      val f = BinaryCarver.checkFoldId(r, 4, cv, "OrdinalCarver")
       val cnt = r.getLong(5)
       folds(f).getOrElseUpdate(fid, mutable.ArrayBuffer.empty) +=
         KHistRow(dv, sv, dvNull && svNull, level, cnt)

@@ -239,7 +239,8 @@ object RefJson {
         else tm.map(t => stdByLabel.getOrElse(t._1, Double.NaN))
       BinaryCarver.FittedFeature(version, "quantitative", edges, prebinToBin.toVector,
         Map.empty, nanBin, -1, hasNan, hasDefault, binLabels, Double.NaN, Double.NaN,
-        rates, dropped = false, droppedReason = "", stds = stds)
+        rates, dropped = false, droppedReason = "", stds = stds,
+        fitDropna = refDropna(j))
     } else {
       val memberStrs: Vector[Vector[String]] = groups.map(_.map {
         case JString(s) => s
@@ -283,9 +284,17 @@ object RefJson {
       BinaryCarver.FittedFeature(version, kind, Vector.empty, Vector.empty,
         valueToBin.toMap, nanBin, otherBin, hasNan, hasDefault, binLabels,
         Double.NaN, Double.NaN, rates, dropped = false, droppedReason = "",
-        stds = stds, parents = parents, leaderToBin = leaderToBin)
+        stds = stds, parents = parents, leaderToBin = leaderToBin,
+        fitDropna = refDropna(j))
     }
   }
+
+  /** The artifact's per-feature `dropna` flag (feature._dropna): carried
+    * into [[BinaryCarver.FittedFeature.fitDropna]] so a re-export
+    * round-trips it instead of re-inferring it from nanBin.
+    */
+  private def refDropna(j: JValue): Boolean =
+    (j \ "dropna") match { case JBool(b) => b; case _ => true }
 
   private def ratesFrom(tm: Vector[(String, Double)], fr: Map[String, Double],
       cn: Map[String, Double], nBins: Int): Vector[Search.RateRow] =
@@ -413,7 +422,7 @@ object RefJson {
     if (m.kept.nonEmpty) sb.append(", ")
     sb.append("\"is_fitted\": true}")
     sb.append(s""", "min_freq": ${m.minFreq}, "is_fitted": true""")
-    sb.append(s""", "config": {"dropna": true, "n_jobs": 1, "verbose": false, "ordinal_encoding": true, "copy": true, "min_freq_alpha": $minFreqAlpha, "rescue_rare": false}""")
+    sb.append(s""", "config": {"dropna": ${m.features.forall(_.fitDropna)}, "n_jobs": 1, "verbose": false, "ordinal_encoding": true, "copy": true, "min_freq_alpha": $minFreqAlpha, "rescue_rare": false}""")
     sb.append(s""", "max_n_mod": ${m.maxNMod}""")
     sb.append(s""", "combination_evaluator": {"sort_by": "${esc(m.sortBy)}", "target_rate": "${esc(targetRate)}", "verbose": false}""")
     sb.append(""", "dropped_features": [""")
@@ -487,7 +496,7 @@ object RefJson {
 
     s"""{"name": "${esc(f.name)}", "version": "${esc(ver)}", "version_tag": "${esc(ver)}", """ +
       s""""has_nan": ${f.hasNan}, "nan": "$Nan", "has_default": ${f.hasDefault}, "default": "$Other", """ +
-      s""""dropna": ${!(f.hasNan && f.nanBin < 0 && !f.dropped)}, "is_fitted": true, "values": $values, "content": $contentStr, """ +
+      s""""dropna": ${f.fitDropna && !(f.hasNan && f.nanBin < 0 && !f.dropped)}, "is_fitted": true, "values": $values, "content": $contentStr, """ +
       s""""is_qualitative": ${f.kind != "quantitative"}, "is_quantitative": ${f.kind == "quantitative"}, """ +
       s""""is_categorical": ${f.kind == "categorical"}, "is_ordinal": ${f.kind == "ordinal"}, "is_nested": ${f.kind == "nested"}, """ +
       (if (f.kind == "nested") s""""parents": [${f.parents.map(p => "\"" + esc(p) + "\"").mkString(", ")}], "max_n_chars": 50, """ else "") +

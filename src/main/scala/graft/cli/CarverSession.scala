@@ -118,8 +118,13 @@ final class CarverSession(spark: SparkSession) {
     dt match {
       case _: NumericType =>
         val q = df.stat.approxQuantile(column, Array(0.0, 0.25, 0.5, 0.75, 1.0), 1e-4)
-        common ~ ("quantiles" -> (("min" -> q(0)) ~ ("q25" -> q(1)) ~ ("q50" -> q(2)) ~
-          ("q75" -> q(3)) ~ ("max" -> q(4))))
+        // an all-null (or empty) numeric column yields an empty quantile
+        // array — the reference emits an empty quantiles dict there
+        val quant: JObject =
+          if (q.length < 5) JObject()
+          else ("min" -> q(0)) ~ ("q25" -> q(1)) ~ ("q50" -> q(2)) ~
+            ("q75" -> q(3)) ~ ("max" -> q(4))
+        common ~ ("quantiles" -> quant)
       case _ =>
         val top = df.groupBy(col(column).cast("string").as("v"))
           .agg(count(lit(1)).as("c"))
@@ -142,10 +147,16 @@ final class CarverSession(spark: SparkSession) {
     val withY = target.map(t => df.withColumn("__y", col(t).cast("double"))).getOrElse(df)
     val aggs = Seq(count(lit(1)).as("c")) ++
       (if (target.isDefined) Seq(avg(col("__y")).as("rate")) else Nil)
+    // nobs over the WHOLE column (reference `inspection.py`:
+    // `series.notna().sum()`), not the collected top-N slice — when
+    // cardinality > topN the sliced sum undercounts n, inflating every
+    // frequency and running the Wilson rare test against the wrong
+    // denominator (exactly the high-cardinality case min_freq flags)
+    val nobs = df.agg(coalesce(sum(col(column).isNotNull.cast("long")), lit(0L)))
+      .head().getLong(0)
     val rows = withY.groupBy(col(column).cast("string").as("v"))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("c").desc, col("v").asc).limit(topN).collect()
-    val nobs = rows.filter(_.getString(0) != null).map(_.getLong(1)).sum
     JArray(rows.toList.map { r =>
       val isNullMod = r.getString(0) == null
       val o: JObject = ("value" -> Option(r.getString(0))) ~ ("count" -> r.getLong(1)) ~
@@ -395,14 +406,22 @@ final class CarverSession(spark: SparkSession) {
         val binned = binary.transform(newDf, keepOriginal = true).cache()
         // per-feature bin histograms (small K; one cached transform shared)
         JArray(kept.toList.map { x =>
-          val hist = binned.groupBy(col(s"${x.name}_bin").as("b"))
+          val rows = binned.groupBy(col(s"${x.name}_bin").as("b"))
             .agg(count(lit(1)).as("c")).collect()
+          // transform emits a NULL bin code for categorical values unseen at
+          // fit when the feature has no default bucket (unexpectedValues'
+          // contract) — a drifted extract is this verb's main use case, so
+          // the null group joins the denominator (deflating every known
+          // bin's frequency, which PSI then sees) and is reported explicitly
+          val unseen = rows.filter(_.isNullAt(0)).map(_.getLong(1)).sum
+          val hist = rows.filterNot(_.isNullAt(0))
             .map(r => r.getInt(0) -> r.getLong(1)).toMap
           val newFreq = x.rates.indices.map(i => hist.getOrElse(i, 0L).toDouble).toArray
           val refFreq = x.rates.map(_.frequency).toArray
-          val tot = math.max(newFreq.sum, 1.0)
+          val tot = math.max(newFreq.sum + unseen, 1.0)
           val (p, _) = Stability.psi(refFreq, newFreq.map(_ / tot))
-          ("feature" -> x.name) ~ ("psi" -> r6(p)) ~ ("labelled" -> false): JValue
+          ("feature" -> x.name) ~ ("psi" -> r6(p)) ~ ("labelled" -> false) ~
+            ("unseen_count" -> unseen): JValue
         })
     }
   }

@@ -573,10 +573,19 @@ object Dedup {
         ).as("grams")
       )
     val sizes = grams.select(col("id"), size(col("grams")).cast("long").as("n_grams"))
-    val posting = grams
-      .select(col("id"), explode(col("grams")).as("gram"))
-      .withColumn("pn", count(lit(1)).over(Window.partitionBy(col("gram"))))
-      .filter(col("pn") <= maxPostings)
+    // hot-gram pruning WITHOUT a window over the skewed gram key: a
+    // `count().over(partitionBy(gram))` funnels every posting of a hot gram
+    // (stopword trigrams — billions of rows at web scale) into ONE window
+    // task just to be discarded. Instead the posting count aggregates with
+    // map-side partial combine, and only the >maxPostings survivors — few
+    // by construction (a corpus has a bounded set of stopword-grade grams)
+    // — broadcast back as an anti-join, so the posting list is never
+    // shuffled on the hot key at all; the self-join below then only ever
+    // sees grams with bounded (≤ maxPostings) posting lists.
+    val posting0 = grams.select(col("id"), explode(col("grams")).as("gram"))
+    val hotGrams = posting0.groupBy(col("gram")).agg(count(lit(1)).as("pn"))
+      .filter(col("pn") > maxPostings).select(col("gram"))
+    val posting = posting0.join(broadcast(hotGrams), Seq("gram"), "left_anti")
     val inter = posting.select(col("gram"), col("id").as("id_a"))
       .join(posting.select(col("gram"), col("id").as("id_b")), Seq("gram"))
       .filter(col("id_a") < col("id_b"))

@@ -79,6 +79,43 @@ class ContinuousSpec extends SparkSuite {
     assert(f.nonEmpty && f.get.hasNan && f.get.nanBin >= 0)
   }
 
+  test("synthHist: even spread with remainder, duplicate grid values merged") {
+    val h = ContinuousCarver.synthHist(10L, Seq(1.0, 1.0, 2.0, 3.0))
+    // base 2, remainder 2 to the leading slots -> weights [3,3,2,2]
+    assert(h.toMap == Map(1.0 -> 6.0, 2.0 -> 2.0, 3.0 -> 2.0))
+    assert(h.map(_._2).sum == 10.0)
+    assert(ContinuousCarver.synthHist(0L, Seq(1.0)).isEmpty)
+    assert(ContinuousCarver.synthHist(5L, Nil).isEmpty)
+  }
+
+  test("target_median cardinality gate: approx grid path agrees at low cardinality") {
+    // the gate (medianExactMaxDistinctY) flips the R4 median rate from the
+    // exact per-(modality, y) histogram collect — O(distinct-y) on the
+    // driver, the web-scale killer — to the bounded percentile_approx grid.
+    // On a low-cardinality y both paths must choose the same cuts.
+    val rows = (0 until 3000).map { i =>
+      val x = (i % 30).toDouble
+      val base = if (x < 10) 1.0 else if (x < 20) 5.0 else 9.0
+      (x, base + (i % 3))
+    }
+    val data = rows.toDF("x", "y")
+    val specs = Seq(BinaryCarver.FeatureSpec("x", "quantitative"))
+    val cfgExact = BinaryCarver.Config(sortBy = "kruskal", rateStrategy = "target_median")
+    val exact = ContinuousCarver.fit(data, "y", specs, config = cfgExact)
+    // distinct-y is 9 > 1 -> the gate routes through the grid path
+    val approx = ContinuousCarver.fit(data, "y", specs,
+      config = cfgExact.copy(medianExactMaxDistinctY = 1L))
+    assert(exact.kept.nonEmpty && approx.kept.nonEmpty)
+    assert(exact.kept.head.prebinToBin == approx.kept.head.prebinToBin)
+    exact.kept.head.rates.zip(approx.kept.head.rates).foreach { case (a, b) =>
+      assert(a.label == b.label)
+      assert(math.abs(a.rate - b.rate) <= 0.05, s"median drifted: $a vs $b")
+    }
+    // and the default threshold keeps the exact path byte-identical
+    val exact2 = ContinuousCarver.fit(data, "y", specs, config = cfgExact)
+    assert(exact.kept.head.rates == exact2.kept.head.rates)
+  }
+
   test("rank stats: average ranks computed distributed match a local rankdata") {
     // tiny frame where we can rank by hand: y = [1,2,2,3], avg ranks [1,2.5,2.5,4]
     val tiny = Seq((0L, 0.0, 1.0), (1L, 0.0, 2.0), (2L, 1.0, 2.0), (3L, 1.0, 3.0))

@@ -84,6 +84,41 @@ class DropnaSpec extends SparkSuite {
     assert(f2.hasNan && f2.nanBin < 0)
   }
 
+  test("dropna=false threads into the reference artifact for EVERY feature") {
+    // the reference sets feature._dropna=False for every feature fitted
+    // under ProcessingConfig(dropna=False) — including features with no
+    // observed NaN, where the old nanBin-inference wrote dropna:true and a
+    // reference-side reload would then fillna new NaNs instead of leaving
+    // them raw
+    val rows =
+      (0 until 400).map(i => (null.asInstanceOf[String], "P", if (i < 320) 1 else 0)) ++
+        (0 until 400).map(i => ("A", "P", if (i < 80) 1 else 0)) ++
+        (0 until 400).map(i => ("B", "Q", if (i < 300) 1 else 0))
+    val df = rows.toDF("with_nan", "no_nan", "y")
+    val specs = Seq(BinaryCarver.FeatureSpec("with_nan", "categorical"),
+      BinaryCarver.FeatureSpec("no_nan", "categorical"))
+    val m = BinaryCarver.fit(df, "y", specs, config = cfg)
+    assert(m.features.forall(!_.fitDropna))
+    val json = RefJson.write(m)
+    val parsed = org.json4s.jackson.JsonMethods.parse(json)
+    import org.json4s._
+    assert((parsed \ "config" \ "dropna") == JBool(false))
+    m.kept.foreach { f =>
+      assert((parsed \ "features" \ f.name \ "dropna") == JBool(false),
+        s"${f.name} must serialize dropna:false under a dropna=false fit")
+    }
+    // engine-JSON round-trip carries the flag, and a re-export agrees
+    val m2 = Json.readModel(m.toJson)
+    assert(m2.features.forall(!_.fitDropna))
+    // the dropna=true default still writes true
+    val mT = BinaryCarver.fit(df, "y", specs, config = cfg.copy(dropna = true))
+    val parsedT = org.json4s.jackson.JsonMethods.parse(RefJson.write(mT))
+    assert((parsedT \ "config" \ "dropna") == JBool(true))
+    mT.kept.foreach { f =>
+      assert((parsedT \ "features" \ f.name \ "dropna") == JBool(true))
+    }
+  }
+
   test("dropna=true default unchanged: informative missingness earns NaN its own bin") {
     val df = exactBinary(1000, 1000, nanRate = 0.8, valRate = 0.2)
     val m = BinaryCarver.fit(df, "y", spec, config = cfg.copy(dropna = true))

@@ -80,6 +80,38 @@ class RobustnessSpec extends SparkSuite {
     assert(e.getMessage.contains("outside [0, 5)"), e.getMessage)
   }
 
+  test("foldCol validation is shared by the multiclass and ordinal fold loops") {
+    // the same null / out-of-range contract as the binary family — a bad
+    // user fold column raises the typed error, never an NPE or a silently
+    // truncated array index
+    val mdf = df.withColumn("k", (col("y") + pmod(col("id"), lit(2))).cast("string"))
+    val specs = Seq(BinaryCarver.FeatureSpec("x", "quantitative"))
+    val badRange = mdf.withColumn("__fold", pmod(col("id"), lit(9)))
+    val e1 = intercept[Exception] {
+      MulticlassCarver.fit(badRange, "k", specs,
+        config = MulticlassCarver.Config(cv = 3, foldCol = "__fold"))
+    }
+    assert(e1.getMessage.contains("outside [0, 3)"), e1.getMessage)
+    val badNull = mdf.withColumn("__fold",
+      when(col("id") % 100 === 0, lit(null)).otherwise(pmod(col("id"), lit(3))))
+    val e2 = intercept[Exception] {
+      MulticlassCarver.fit(badNull, "k", specs,
+        config = MulticlassCarver.Config(cv = 3, foldCol = "__fold"))
+    }
+    assert(e2.getMessage.contains("fold column carries nulls"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      OrdinalCarver.fit(badRange.withColumn("lvl", (col("y") * 2 + pmod(col("id"), lit(2))).cast("int")),
+        "lvl", specs, config = OrdinalCarver.Config(cv = 3, foldCol = "__fold"))
+    }
+    assert(e3.getMessage.contains("outside [0, 3)"), e3.getMessage)
+    // a valid external assignment still fits in both families
+    val ok = mdf.withColumn("__fold", pmod(col("id"), lit(3)))
+    assert(MulticlassCarver.fit(ok, "k", specs,
+      config = MulticlassCarver.Config(cv = 3, foldCol = "__fold")).features.nonEmpty)
+    assert(OrdinalCarver.fit(ok.withColumn("lvl", (col("y") * 2 + pmod(col("id"), lit(2))).cast("int")),
+      "lvl", specs, config = OrdinalCarver.Config(cv = 3, foldCol = "__fold")).features.nonEmpty)
+  }
+
   test("cv folds are single-pass: a cv=5 fit launches no more cluster jobs than cv=0") {
     // the fold key is one more groupBy column in the ONE histogram scan —
     // a cv=5 fit must not scan the table per fold (round-2 scale-killer)

@@ -128,6 +128,62 @@ class CliSpec extends SparkSuite {
     assert(e.getMessage.contains("13 verbs"))
   }
 
+  test("inspection: frequencies use full-column nobs; all-null quantiles are empty") {
+    import spark.implicits._
+    val s = new CarverSession(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_inspect").toString
+    (0 until 100).map(i => (s"v${i % 5}", i.toLong))
+      .toDF("m", "i")
+      .withColumn("num_null", org.apache.spark.sql.functions.lit(null).cast("double"))
+      .write.mode("overwrite").parquet(s"$tmp/t.parquet")
+    call(s, "load_dataset", "path" -> JString(s"$tmp/t.parquet"))
+    // top_n slices the DISPLAY, not the denominator: each of the 5 equal
+    // modalities is 20/100 of the column even when only 2 rows are shown
+    // (reference inspection.py: nobs = series.notna().sum())
+    val dist = call(s, "feature_distribution",
+      "column" -> JString("m"), "min_freq" -> JDouble(0.3), "top_n" -> JInt(2))
+      .asInstanceOf[JArray].arr
+    assert(dist.length == 2)
+    dist.foreach { d =>
+      assert((d \ "frequency") == JDouble(0.2), s"sliced-denominator frequency: $d")
+      // 20/100 IS significantly below 30% -> rare, which the inflated
+      // 20/40=0.5 denominator would have missed
+      assert((d \ "rare") == JBool(true), d.toString)
+    }
+    // all-null numeric column: empty quantiles dict, not an ArrayIndexOOB
+    val p = call(s, "profile_column", "column" -> JString("num_null"))
+    assert((p \ "quantiles") == JObject(), p.toString)
+    assert((p \ "missing") == JInt(100))
+  }
+
+  test("unlabelled stability tolerates drifted (unseen) categorical values") {
+    import spark.implicits._
+    val s = new CarverSession(spark)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cli_drift").toString
+    val rows = (0 until 400).map { i =>
+      val v = if (i < 200) "a" else "b"
+      val y = if (v == "a") { if (i % 10 < 8) 1 else 0 } else { if (i % 10 < 2) 1 else 0 }
+      (v, y)
+    }
+    rows.toDF("cat", "y").write.mode("overwrite").parquet(s"$tmp/train.parquet")
+    call(s, "load_dataset", "path" -> JString(s"$tmp/train.parquet"), "target" -> JString("y"))
+    call(s, "suggest_features")
+    val run = call(s, "run_carver", "task" -> JString("binary"), "min_freq" -> JDouble(0.1))
+    assert((run \ "kept_features").asInstanceOf[JArray].arr.contains(JString("cat")))
+    // drifted unlabelled extract: 'c' was never seen at fit and the feature
+    // has no default bucket -> transform emits null bin codes; the verb must
+    // report the drift (deflated known-bin frequencies + explicit count),
+    // not NPE on the null group
+    (Seq.fill(100)("a") ++ Seq.fill(100)("c")).toDF("cat")
+      .write.mode("overwrite").parquet(s"$tmp/drift.parquet")
+    val st = call(s, "evaluate_stability", "path" -> JString(s"$tmp/drift.parquet"))
+      .asInstanceOf[JArray].arr
+    val row = st.find(r => (r \ "feature") == JString("cat")).get
+    assert((row \ "unseen_count") == JInt(100), row.toString)
+    val JDouble(p) = (row \ "psi"): @unchecked
+    assert(p > 0.1, s"half the mass drifted out of the fitted bins: psi=$p")
+  }
+
   test("Cli REPL line protocol: ok/error envelopes") {
     val s = new CarverSession(spark)
     def roundtrip(line: String): JValue = {
