@@ -344,6 +344,113 @@ object SparkEntry {
       m.transform(Tables.documents(s, dir).withColumn("y", docLabel), keepOriginal = true)
         .select(col("doc_id") +: m.kept.map(f => col(s"${f.name}_bin")): _*)
     }),
+    "q_carve_median" -> ((s, dir) => {
+      // R4 TargetMedian rate under hard oracle (reference
+      // `combinations/continuous/continuous_target_rates.py:127-138`):
+      // the q_carve_continuous config with the median rate driving the
+      // bin sort/labels. y (token count) is low-cardinality, so the exact
+      // histogram path applies; the cardinality-gated percentile-grid path
+      // is pinned at the threshold by ContinuousSpec.
+      import graft.carve.{BinaryCarver, ContinuousCarver}
+      val df = Tables.documents(s, dir)
+        .withColumn("y", TextOps.tokenCount(col("text")).cast("double"))
+      val m = ContinuousCarver.fit(df, "y", Seq(
+        BinaryCarver.FeatureSpec("n_chars", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical")),
+        config = BinaryCarver.Config(sortBy = "kruskal", rateStrategy = "target_median"))
+      val rows = m.kept.flatMap(f => f.rates.zipWithIndex.map { case (r, i) =>
+        (f.name, i.toLong, sortedLabel(f.binLabels(i)),
+          BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+      })
+      import s.implicits._
+      rows.toDF("feature", "bin", "bin_label", "median_y", "n")
+    }),
+    "q_model_roundtrip" -> ((s, dir) => {
+      // S3 model lifecycle under hard oracle (§3.3, reference
+      // `base_discretizer.py:565-663`): fit → save JSON → load → transform.
+      // The loaded model's codes hash against the q_carve_transform
+      // reference fixture, so a single drifted edge, relabeled bin, or
+      // lost map entry in the save/load path flips the hash.
+      val m = carveDocs(s, dir)
+      val path = java.nio.file.Files.createTempFile("graft_model", ".json").toString
+      m.save(path)
+      val loaded = graft.carve.BinaryCarver.load(path)
+      loaded.transform(Tables.documents(s, dir).withColumn("y", docLabel), keepOriginal = true)
+        .select(col("doc_id") +: loaded.kept.map(f => col(s"${f.name}_bin")): _*)
+    }),
+    "q_resume_fit" -> ((s, dir) => {
+      // E6 resume under hard oracle: run 1 computes + persists the `hist`
+      // stage (the fit's ONLY cluster product) through IcebergLite's
+      // content-addressed checkpoint; run 2 resumes with a POISONED input
+      // frame (label inverted) — if the resume re-scanned instead of
+      // loading the checkpoint, every rate flips and the q_carve_fit
+      // fixture hash fails. The refit is driver-only (fitFromHistograms).
+      import graft.carve.BinaryCarver
+      import graft.pages.HistJson
+      import graft.tables.IcebergLite
+      val df = Tables.documents(s, dir).withColumn("y", docLabel)
+      val specs = Seq(
+        BinaryCarver.FeatureSpec("n_chars", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical"),
+        BinaryCarver.FeatureSpec("source", "categorical"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_resume").toString
+      val cfgHash = IcebergLite.configHash("q_resume_fit|v1")
+      // run 1: cluster pass -> durable checkpoint
+      IcebergLite.saveCheckpoint(tmp, IcebergLite.Checkpoint("hist", 1L, cfgHash,
+        HistJson.write(BinaryCarver.histogram(df, "y", specs))))
+      // run 2: the poisoned frame is only scanned if the checkpoint is lost
+      val poisoned = df.withColumn("y", lit(1) - col("y"))
+      val histJson = IcebergLite.loadCheckpoint(tmp, "hist", 1L, cfgHash).getOrElse(
+        HistJson.write(BinaryCarver.histogram(poisoned, "y", specs)))
+      fitRowsDF(s, BinaryCarver.fitFromHistograms(HistJson.read(histJson), None, "y", specs))
+    }),
+    "q_cli_workflow" -> ((s, dir) => {
+      // S4 scripted workflow under hard oracle: the MCP verbs driven
+      // through Cli.dispatch exactly as the JSON-lines REPL would —
+      // load → inspect → suggest → prune → carve → save — then the saved
+      // reference-schema artifact is reloaded and its fit rows hash
+      // against the q_carve_fit fixture (same data, same config), closing
+      // S4's oracle gap (reference `mcp/server.py:34-108`).
+      import org.json4s._
+      val sess = new graft.cli.CarverSession(s)
+      def call(tool: String, args: (String, JValue)*): JValue =
+        graft.cli.Cli.dispatch(sess, tool, JObject(args.toList))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cli_wf").toString
+      Tables.documents(s, dir).withColumn("y", docLabel)
+        .write.mode("overwrite").parquet(s"$tmp/docs.parquet")
+      call("load_dataset", "path" -> JString(s"$tmp/docs.parquet"), "target" -> JString("y"))
+      call("list_columns")
+      call("profile_column", "column" -> JString("n_chars"))
+      call("suggest_features")
+      call("drop_feature", "column" -> JString("doc_id"))
+      call("drop_feature", "column" -> JString("text"))
+      call("run_carver", "task" -> JString("binary"),
+        "min_freq" -> JDouble(0.02), "max_n_mod" -> JInt(5))
+      call("save_carver", "path" -> JString(s"$tmp/carver.json"))
+      fitRowsDF(s, graft.carve.RefJson.load(s"$tmp/carver.json"))
+    }),
+    "q_multimodal_decode" -> ((s, dir) => {
+      // L9 decode upgraded from stub to REAL: javax.imageio PNG decode +
+      // integer-math nearest-neighbor resize in the mapPartitions batch
+      // shape. Payloads are deterministic synthetic PNGs (gray(x,y) =
+      // (x*7 + y*13 + doc_id*31) % 256, size (4+id%13)×(3+id%7)); the
+      // oracle recomputes width/height/pixel sums in closed form, so a
+      // decode that misreads a single sample flips the hash.
+      import graft.multimodal.Multimodal
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val schema = d.schema.add("png", org.apache.spark.sql.types.BinaryType)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+      val withPng = d.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id,
+            Multimodal.synthPng(id, (4 + id % 13).toInt, (3 + id % 7).toInt))
+        }
+      }(enc)
+      Multimodal.decodeImages(withPng, "png", outW = 4, outH = 3)
+        .select(col("doc_id"), col("ok"), col("width"), col("height"), col("pixel_sum"),
+          expr("aggregate(resized, CAST(0 AS BIGINT), (a, x) -> a + x)").as("resized_sum"))
+    }),
     // S1+T2 oracle: the input audit frame — schema validation, kind
     // detection, and per-feature null/distinct profile over the fit's own
     // long-form encoding
@@ -904,6 +1011,30 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = carveOracleSql ++ Map(
+    // the roundtrip/resume/workflow queries re-derive the SAME model the
+    // q_carve_* fixtures pinned, through different persistence paths — the
+    // fixture SQL is the oracle for all of them
+    "q_model_roundtrip" -> carveOracleSql("q_carve_transform"),
+    "q_resume_fit" -> carveOracleSql("q_carve_fit"),
+    "q_cli_workflow" -> carveOracleSql("q_carve_fit"),
+    "q_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, CAST(4 + doc_id % 13 AS INTEGER) AS w,
+                    CAST(3 + doc_id % 7 AS INTEGER) AS h FROM documents),
+         px AS (
+           SELECT d.doc_id,
+             CAST(sum((xs.x*7 + ys.y*13 + d.doc_id*31) % 256) AS BIGINT) AS pixel_sum
+           FROM d, LATERAL (SELECT unnest(range(0, d.w)) AS x) xs,
+                   LATERAL (SELECT unnest(range(0, d.h)) AS y) ys
+           GROUP BY 1),
+         rs AS (
+           SELECT d.doc_id,
+             CAST(sum(((xs.x * d.w // 4)*7 + (ys.y * d.h // 3)*13 + d.doc_id*31) % 256) AS BIGINT) AS resized_sum
+           FROM d, LATERAL (SELECT unnest(range(0, 4)) AS x) xs,
+                   LATERAL (SELECT unnest(range(0, 3)) AS y) ys
+           GROUP BY 1)
+         SELECT d.doc_id, true AS ok, d.w AS width, d.h AS height,
+                px.pixel_sum, rs.resized_sum
+         FROM d JOIN px USING (doc_id) JOIN rs USING (doc_id)""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,

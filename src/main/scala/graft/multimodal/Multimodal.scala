@@ -102,6 +102,89 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image decode kernel (L9 upgrade): the JDK ships PNG/JPEG/BMP/GIF
+    * readers in `javax.imageio` — no external jars. Batch-shaped like
+    * [[extractFeatures]]: one decode per row inside a mapPartitions pass
+    * (reader instances amortize per partition), corrupt / undecodable /
+    * null payloads produce an `ok=false` row, never a task failure.
+    *
+    * Appends: `ok boolean, width int, height int, pixel_sum long,
+    * resized array<int>` — `pixel_sum` sums band-0 samples (gray channel;
+    * deterministic across JVMs because PNG gray is lossless), `resized` is
+    * a nearest-neighbor downsample to `outW × outH` with explicit integer
+    * source indexing (`src = x*W/outW`) rather than AffineTransform
+    * filtering, so the result is bit-identical everywhere.
+    */
+  def decodeImages(df: DataFrame, payloadCol: String, outW: Int = 4, outH: Int = 3): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = df.schema
+      .add("ok", BooleanType)
+      .add("width", IntegerType)
+      .add("height", IntegerType)
+      .add("pixel_sum", LongType)
+      .add("resized", ArrayType(IntegerType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val payload =
+          if (row.isNullAt(payloadIdx)) null else row.getAs[Array[Byte]](payloadIdx)
+        val img =
+          if (payload == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: Throwable => null }
+        if (img == null)
+          org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(false, 0, 0, 0L, Seq.empty[Int]))
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          val resized = new Array[Int](outW * outH)
+          var ry = 0
+          while (ry < outH) {
+            var rx = 0
+            while (rx < outW) {
+              resized(ry * outW + rx) = raster.getSample(rx * w / outW, ry * h / outH, 0)
+              rx += 1
+            }
+            ry += 1
+          }
+          org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(true, w, h, sum, resized.toSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic gray PNG: `gray(x, y) = (x*7 + y*13 +
+    * seed*31) % 256`, written through the JDK PNG encoder — the fixture
+    * generator for the decode oracle (closed-form pixel function, so a
+    * DuckDB oracle recomputes every sum without decoding anything).
+    */
+  def synthPng(seed: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((x * 7 + y * 13 + seed * 31) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Frame sampling: one row per sampled frame `(id, frame_idx, frame)`.
     * Partition sizing note: output bytes = n × frameBytes per input row —
     * repartition the input so a task's output stays within executor memory.

@@ -31,6 +31,34 @@ class MultimodalSpec extends SparkSuite {
     assert(sha == Multimodal.sha256Hex(row5))
   }
 
+  test("decodeImages: real JDK PNG decode, integer-math resize, corrupt-safe") {
+    // synthetic gray PNG with a closed-form pixel function: the decode must
+    // read back every sample exactly (PNG gray is lossless)
+    def g(x: Int, y: Int, seed: Long): Int = ((x * 7 + y * 13 + seed * 31) % 256).toInt
+    val rows = (0L until 20L).map { id =>
+      val (w, h) = ((4 + id % 13).toInt, (3 + id % 7).toInt)
+      (id, Multimodal.synthPng(id, w, h), w, h)
+    }
+    val df = rows.toDF("id", "png", "w", "h")
+    val out = Multimodal.decodeImages(df, "png", outW = 4, outH = 3).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (r.getInt(2), r.getInt(3))
+      assert(r.getBoolean(r.fieldIndex("ok")))
+      assert((w, h) == ((4 + id % 13).toInt, (3 + id % 7).toInt))
+      val expSum = (for { y <- 0 until h; x <- 0 until w } yield g(x, y, id).toLong).sum
+      assert(r.getLong(r.fieldIndex("pixel_sum")) == expSum, s"doc $id pixel sum")
+      // nearest-neighbor with explicit integer indexing: src = x*W/outW
+      val expResized = for { y <- 0 until 3; x <- 0 until 4 } yield g(x * w / 4, y * h / 3, id)
+      assert(r.getSeq[Int](r.fieldIndex("resized")) == expResized, s"doc $id resize")
+    }
+    // corrupt + null payloads -> ok=false rows, not task failures
+    val bad = Seq((100L, Array[Byte](1, 2, 3)), (101L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "png")
+    val badOut = Multimodal.decodeImages(bad, "png").collect()
+    assert(badOut.forall(r => !r.getBoolean(r.fieldIndex("ok"))))
+  }
+
   test("sampleFrames: n frames per non-empty payload, bounded frame size") {
     val out = Multimodal.sampleFrames(media.filter(col("payload").isNotNull), "id", "payload", n = 4, frameBytes = 8)
     assert(out.columns.toSeq == Seq("id", "frame_idx", "frame"))

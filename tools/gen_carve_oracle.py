@@ -137,6 +137,24 @@ oracle["q_carve_continuous"] = sql_values(rows,
     ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
 print("q_carve_continuous rows:", len(rows))
 
+# ---------------------------------------------------------- q_carve_median
+# R4 TargetMedian rate (continuous_target_rates.py:127-138): same continuous
+# config, evaluator built with target_rate=TargetMedian(). y (token count)
+# is low-cardinality, so the engine's exact histogram path applies (the
+# gated percentile-grid path is pinned separately by ContinuousSpec).
+from AutoCarver.combinations import KruskalCombinations
+from AutoCarver.combinations.continuous.continuous_target_rates import TargetMedian
+
+cm = AC.ContinuousCarver(Features(categoricals=["lang"], numericals=["n_chars"]),
+                         min_freq=0.02, max_n_mod=5,
+                         combination_evaluator=KruskalCombinations(target_rate=TargetMedian()))
+cm.fit(Xc.copy(), docs["n_tokens"])
+rows = fit_rows(cm, ["n_chars", "lang"], rate_col="target_median")
+oracle["q_carve_median"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "median_y", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_median rows:", len(rows))
+
 # --------------------------------------------------------- q_carve_ordinal
 Xo = docs[["n_tokens", "lang"]].copy()
 oc = AC.OrdinalCarver(Features(categoricals=["lang"], numericals=["n_tokens"]),
