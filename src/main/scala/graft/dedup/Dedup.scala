@@ -152,17 +152,21 @@ object Dedup {
     h
   }
 
-  /** Add a `minhash` column: Array[Long] signature from k-char shingles. */
+  /** Add a `minhash` column: Array[Long] signature from k-char shingles,
+    * via the codegen expression (no UDF boxing on the dedup family's
+    * hottest scan). Null text → null signature (the former UDF emitted an
+    * all-MaxValue signature there; both are dropped by the banding
+    * quarantine's `!forall(== MaxValue)` filter, which is null-rejecting).
+    */
   def withMinhash(
       df: DataFrame,
       textCol: String,
       numHashes: Int = 64,
       shingleK: Int = 5,
       seed: Long = 42L
-  ): DataFrame = {
-    val f = udf((s: String) => minhashSig(shingleHashes(s, shingleK), numHashes, seed))
-    df.withColumn("minhash", f(col(textCol)))
-  }
+  ): DataFrame =
+    df.withColumn("minhash",
+      graft.transform.MinhashSignature.column(col(textCol), numHashes, shingleK, seed))
 
   /** Durable signature checkpoint for the 100 TB path: at 10^11 docs the
     * 64-long signature frame is ~50 TB — `persist(MEMORY_AND_DISK)` puts
@@ -313,10 +317,8 @@ object Dedup {
     out
   }
 
-  def withSimhash(df: DataFrame, textCol: String): DataFrame = {
-    val f = udf((s: String) => simhashOf(s))
-    df.withColumn("simhash", f(col(textCol)))
-  }
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("simhash", graft.transform.Simhash64.column(col(textCol)))
 
   /** SimHash near-dup candidates at Hamming distance <= maxHamming, found
     * by banding the 64-bit hash into (maxHamming+1) chunks (pigeonhole: any

@@ -288,4 +288,28 @@ class NestedSpec extends SparkSuite {
         Seq(BinaryCarver.FeatureSpec("city", "nested", parents = Seq("not_a_col"))))
     }
   }
+
+  test("nested under a multiclass target: engine's typed error pinned to the reference crash") {
+    // the engine REFUSES nested×multiclass with a rationale (the reference's
+    // NestedDiscretizer target sort crashes on string classes). That claim
+    // is pinned by EXECUTING the reference (tools/gen_ref_pins.py →
+    // ref_pins.json): if a future reference release fixes the crash, the
+    // regenerated pin flips `raises` and this test fails, forcing the
+    // engine to implement the path instead of silently diverging.
+    val in = getClass.getResourceAsStream("/graft/ref_pins.json")
+    assert(in != null, "ref_pins.json missing — run tools/gen_ref_pins.py")
+    val pins = try org.json4s.jackson.JsonMethods.parse(
+      scala.io.Source.fromInputStream(in, "UTF-8").mkString) finally in.close()
+    import org.json4s._
+    assert((pins \ "nested_multiclass" \ "raises") == JBool(true),
+      "the reference no longer crashes on nested×multiclass — implement the " +
+        s"path and drop the engine's typed error: ${pins \ "nested_multiclass"}")
+    // and the engine's own refusal still stands, with the documented message
+    val mdf = df.withColumn("k", concat(lit("c"), pmod(col("id"), lit(3)).cast("string")))
+    val e = intercept[IllegalArgumentException] {
+      MulticlassCarver.fit(mdf, "k",
+        Seq(BinaryCarver.FeatureSpec("city", "nested", parents = Seq("region"))))
+    }
+    assert(e.getMessage.contains("nested features are not supported"), e.getMessage)
+  }
 }
