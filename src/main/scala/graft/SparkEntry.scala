@@ -703,33 +703,45 @@ object SparkEntry {
         .withColumn("y", docLabel.cast("double"))
         .withColumn("ty", TextOps.tokenCount(col("text")).cast("double"))
       val binned = m.transform(labeled, keepOriginal = true)
-      val shifted = binned.filter(col("n_chars") > 200)
       import s.implicits._
+      // ONE exploded aggregation for every feature's shifted bin rates (the
+      // production M4 path is already single-pass; the oracle query used to
+      // launch one job per feature — VERDICT r5 minor #3)
+      val shiftCond = col("n_chars") > 200
+      val entries = m.kept.map(f =>
+        struct(lit(f.name).as("f"), col(s"${f.name}_bin").as("bin")))
+      val zAgg = binned.filter(shiftCond)
+        .select(explode(array(entries: _*)).as("e"), col("y"))
+        .groupBy(col("e.f").as("f"), col("e.bin").as("bin"))
+        .agg(count(lit(1)).cast("double").as("n"), avg(col("y")).as("r"))
+        .collect()
+        .flatMap(r => if (r.isNullAt(1)) None
+          else Some((r.getString(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3)))).toMap
       val zRows = m.kept.flatMap { f =>
-        val agg = shifted.groupBy(col(s"${f.name}_bin").as("bin"))
-          .agg(count(lit(1)).cast("double").as("n"), avg(col("y")).as("r"))
-          .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
         f.rates.zipWithIndex.flatMap { case (rr, i) =>
-          agg.get(i).map { case (nNew, rNewRaw) =>
+          zAgg.get((f.name, i)).map { case (nNew, rNewRaw) =>
             val z = graft.stability.Stability.twoProportionZ(
               Array(r6(rr.rate)), Array(rr.count), Array(r6(rNewRaw)), Array(nNew)).head
             ("z", f.name, i.toLong, r6(z), null.asInstanceOf[java.lang.Double])
           }
         }
       }
-      def binMoments(df: org.apache.spark.sql.DataFrame) =
-        df.groupBy(col("n_chars_bin").as("bin"))
-          .agg(avg(col("ty")).as("m"), stddev_samp(col("ty")).as("s"),
-            count(lit(1)).cast("double").as("n"))
-          .collect().map(r => r.getInt(0) -> (r6(r.getDouble(1)), r6(r.getDouble(2)), r.getDouble(3))).toMap
-      val tFull = binMoments(binned)
-      val tNew = binMoments(shifted)
-      val wRows = tFull.keys.toSeq.sorted.flatMap { b =>
-        tNew.get(b).map { case (mN, sN, nN) =>
-          val (mF, sF, nF) = tFull(b)
+      // full + shifted token moments from ONE conditional aggregation
+      val tAgg = binned.groupBy(col("n_chars_bin").as("bin"))
+        .agg(
+          avg(col("ty")).as("m_f"), stddev_samp(col("ty")).as("s_f"),
+          count(lit(1)).cast("double").as("n_f"),
+          avg(when(shiftCond, col("ty"))).as("m_n"),
+          stddev_samp(when(shiftCond, col("ty"))).as("s_n"),
+          count(when(shiftCond, lit(1))).cast("double").as("n_n"))
+        .collect()
+      val wRows = tAgg.sortBy(_.getInt(0)).toSeq.flatMap { r =>
+        if (r.isNullAt(4) || r.getDouble(6) == 0.0) None
+        else {
           val (t, dof) = graft.stability.Stability.welchStat(
-            Array(mF), Array(sF), Array(nF), Array(mN), Array(sN), Array(nN)).head
-          ("welch", "n_chars", b.toLong, r6(t), java.lang.Double.valueOf(r6(dof)))
+            Array(r6(r.getDouble(1))), Array(r6(r.getDouble(2))), Array(r.getDouble(3)),
+            Array(r6(r.getDouble(4))), Array(r6(r.getDouble(5))), Array(r.getDouble(6))).head
+          Some(("welch", "n_chars", r.getInt(0).toLong, r6(t), java.lang.Double.valueOf(r6(dof))))
         }
       }
       (zRows ++ wRows).toDF("test", "feature", "bin", "stat", "dof")
