@@ -451,6 +451,27 @@ object SparkEntry {
         .select(col("doc_id"), col("ok"), col("width"), col("height"), col("pixel_sum"),
           expr("aggregate(resized, CAST(0 AS BIGINT), (a, x) -> a + x)").as("resized_sum"))
     }),
+    "q_multimodal_audio" -> ((s, dir) => {
+      // L9 audio decode, REAL via javax.sound.sampled (WAV PCM ships in the
+      // JDK): deterministic synthetic 16-bit PCM payloads (sample(i) =
+      // ((i*2654435761 + doc_id*40503) % 65536) − 32768, 400+id%600 frames,
+      // 8/12/16 kHz), decoded through AudioSystem; the oracle recomputes
+      // frame counts and exact sample sums/peaks in closed form.
+      import graft.multimodal.Multimodal
+      val d = Tables.documents(s, dir).select(col("doc_id"))
+      val schema = d.schema.add("wav", org.apache.spark.sql.types.BinaryType)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+      val withWav = d.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          org.apache.spark.sql.Row(id,
+            Multimodal.synthWav(id, (400 + id % 600).toInt, (8000 + (id % 3) * 4000).toInt))
+        }
+      }(enc)
+      Multimodal.decodeAudio(withWav, "wav")
+        .select(col("doc_id"), col("ok"), col("channels"), col("sample_rate"),
+          col("n_frames"), col("sample_sum"), col("peak"))
+    }),
     // S1+T2 oracle: the input audit frame — schema validation, kind
     // detection, and per-feature null/distinct profile over the fit's own
     // long-form encoding
@@ -1063,6 +1084,16 @@ object SparkEntry {
          SELECT d.doc_id, true AS ok, d.w AS width, d.h AS height,
                 px.pixel_sum, rs.resized_sum
          FROM d JOIN px USING (doc_id) JOIN rs USING (doc_id)""",
+    "q_multimodal_audio" ->
+      """WITH d AS (SELECT doc_id, CAST(400 + doc_id % 600 AS BIGINT) AS n,
+                    CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS rate FROM documents),
+         s AS (SELECT d.doc_id, ((i.i*2654435761 + d.doc_id*40503) % 65536) - 32768 AS v
+               FROM d, LATERAL (SELECT unnest(range(0, d.n)) AS i) i)
+         SELECT d.doc_id, true AS ok, 1 AS channels, d.rate AS sample_rate,
+                d.n AS n_frames, CAST(sum(s.v) AS BIGINT) AS sample_sum,
+                CAST(max(abs(s.v)) AS BIGINT) AS peak
+         FROM d JOIN s USING (doc_id)
+         GROUP BY d.doc_id, d.rate, d.n""",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(round(l_quantity*100,0) AS BIGINT)) AS BIGINT) AS sum_qty_c,

@@ -185,6 +185,88 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** REAL audio decode kernel (L9 upgrade): WAV/AIFF/AU PCM via the JDK's
+    * `javax.sound.sampled.AudioSystem` — no external jars. Same batch
+    * shape and corrupt-safety contract as [[decodeImages]]. Appends:
+    * `ok boolean, channels int, sample_rate int, n_frames long,
+    * sample_sum long, peak long` (signed 16-bit samples summed exactly;
+    * peak = max |sample| — the clipping detector a filtering pipeline
+    * gates on). Non-PCM / non-16-bit / undecodable payloads → ok=false.
+    */
+  def decodeAudio(df: DataFrame, payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = df.schema
+      .add("ok", BooleanType)
+      .add("channels", IntegerType)
+      .add("sample_rate", IntegerType)
+      .add("n_frames", LongType)
+      .add("sample_sum", LongType)
+      .add("peak", LongType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val payload =
+          if (row.isNullAt(payloadIdx)) null else row.getAs[Array[Byte]](payloadIdx)
+        val decoded =
+          try {
+            if (payload == null) None
+            else {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              val fmt = ais.getFormat
+              if (fmt.getSampleSizeInBits != 16 ||
+                  fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+              else {
+                val bytes = ais.readAllBytes()
+                val bb = java.nio.ByteBuffer.wrap(bytes).order(
+                  if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                  else java.nio.ByteOrder.LITTLE_ENDIAN)
+                var sum = 0L
+                var peak = 0L
+                var n = 0L
+                while (bb.remaining >= 2) {
+                  val v = bb.getShort.toLong
+                  sum += v
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  n += 1
+                }
+                Some((fmt.getChannels, fmt.getSampleRate.toInt, n / fmt.getChannels, sum, peak))
+              }
+            }
+          } catch { case _: Throwable => None }
+        decoded match {
+          case Some((ch, rate, frames, sum, peak)) =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(true, ch, rate, frames, sum, peak))
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(row.toSeq ++ Seq(false, 0, 0, 0L, 0L, 0L))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic 16-bit PCM mono WAV: `sample(i) =
+    * ((i*2654435761 + seed*40503) % 65536) − 32768`, RIFF header
+    * hand-rolled — the fixture generator for the audio decode oracle
+    * (closed-form sample function, SQL-recomputable).
+    */
+  def synthWav(seed: Long, nFrames: Int, sampleRate: Int): Array[Byte] = {
+    val dataLen = nFrames * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16).put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nFrames) {
+      buf.putShort((((i * 2654435761L + seed * 40503L) % 65536L) - 32768L).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
   /** Frame sampling: one row per sampled frame `(id, frame_idx, frame)`.
     * Partition sizing note: output bytes = n × frameBytes per input row —
     * repartition the input so a task's output stays within executor memory.

@@ -59,6 +59,29 @@ class MultimodalSpec extends SparkSuite {
     assert(badOut.forall(r => !r.getBoolean(r.fieldIndex("ok"))))
   }
 
+  test("decodeAudio: real JDK WAV PCM decode, exact sums, corrupt-safe") {
+    def sample(i: Long, seed: Long): Long = ((i * 2654435761L + seed * 40503L) % 65536L) - 32768L
+    val rows = (0L until 12L).map { id =>
+      (id, Multimodal.synthWav(id, (50 + id % 30).toInt, (8000 + (id % 3) * 4000).toInt))
+    }
+    val out = Multimodal.decodeAudio(rows.toDF("id", "wav"), "wav").collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = (50 + id % 30).toInt
+      assert(r.getBoolean(r.fieldIndex("ok")))
+      assert(r.getInt(r.fieldIndex("channels")) == 1)
+      assert(r.getInt(r.fieldIndex("sample_rate")) == (8000 + (id % 3) * 4000).toInt)
+      assert(r.getLong(r.fieldIndex("n_frames")) == n)
+      val samples = (0L until n).map(sample(_, id))
+      assert(r.getLong(r.fieldIndex("sample_sum")) == samples.sum, s"doc $id")
+      assert(r.getLong(r.fieldIndex("peak")) == samples.map(math.abs).max, s"doc $id")
+    }
+    val bad = Seq((100L, Array[Byte](82, 73, 70, 70)), (101L, null.asInstanceOf[Array[Byte]]))
+      .toDF("id", "wav")
+    val badOut = Multimodal.decodeAudio(bad, "wav").collect()
+    assert(badOut.forall(r => !r.getBoolean(r.fieldIndex("ok"))))
+  }
+
   test("sampleFrames: n frames per non-empty payload, bounded frame size") {
     val out = Multimodal.sampleFrames(media.filter(col("payload").isNotNull), "id", "payload", n = 4, frameBytes = 8)
     assert(out.columns.toSeq == Seq("id", "frame_idx", "frame"))
