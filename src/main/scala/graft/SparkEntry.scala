@@ -297,6 +297,26 @@ object SparkEntry {
         config = BinaryCarver.Config(cv = 3, foldCol = "__fold"))
       fitRowsDF(s, m)
     }),
+    "q_carve_level" -> ((s, dir) => {
+      // R6 TargetMeanLevel under hard oracle (`ordinal_target_rates.py:
+      // 94-139`): the q_carve_ordinal config with the integer level scale
+      // driving the rates (targetScale="level"), reference-executed fixture
+      import graft.carve.{BinaryCarver, OrdinalCarver}
+      val df = Tables.documents(s, dir)
+        .withColumn("y", lit(1) + (col("n_chars") > 150).cast("int")
+          + (col("n_chars") > 300).cast("int") + (col("n_chars") > 450).cast("int"))
+        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
+      val m = OrdinalCarver.fit(df, "y", Seq(
+        BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
+        BinaryCarver.FeatureSpec("lang", "categorical")),
+        config = OrdinalCarver.Config(targetScale = "level"))
+      val rows = m.kept.flatMap(f => f.feature.rates.zipWithIndex.map { case (r, i) =>
+        (f.feature.name, i.toLong, sortedLabel(f.feature.binLabels(i)),
+          BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
+      })
+      import s.implicits._
+      rows.toDF("feature", "bin", "bin_label", "mean_level", "n")
+    }),
     "q_carve_fit_sf01" -> ((s, dir) => {
       // the q_carve_fit config at 10× the rows (sf0.1): catches quantile-
       // edge/tie flips the 500-row fixtures cannot see (SURVEY §7.4). Reads

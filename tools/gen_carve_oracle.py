@@ -166,6 +166,22 @@ oracle["q_carve_ordinal"] = sql_values(rows,
     ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
 print("q_carve_ordinal rows:", len(rows))
 
+# ----------------------------------------------------------- q_carve_level
+# R6 TargetMeanLevel rate (ordinal_target_rates.py:94-139): the ordinal
+# config re-scored with the integer level scale instead of ridits.
+from AutoCarver.combinations import KendallTauCCombinations
+from AutoCarver.combinations.ordinal.ordinal_target_rates import TargetMeanLevel
+
+olv = AC.OrdinalCarver(Features(categoricals=["lang"], numericals=["n_tokens"]),
+                       min_freq=0.02, max_n_mod=5,
+                       combination_evaluator=KendallTauCCombinations(target_rate=TargetMeanLevel()))
+olv.fit(Xo.copy(), y_ord)
+rows = fit_rows(olv, ["n_tokens", "lang"], rate_col="target_mean_level")
+oracle["q_carve_level"] = sql_values(rows,
+    ["feature", "bin", "bin_label", "mean_level", "n"],
+    ["VARCHAR", "BIGINT", "VARCHAR", "DOUBLE", "BIGINT"])
+print("q_carve_level rows:", len(rows))
+
 # ------------------------------------------------------ q_carve_multiclass
 mc = AC.MulticlassCarver(Features(categoricals=["lang"], numericals=["n_tokens"]),
                          min_freq=0.02, max_n_mod=5)
