@@ -674,26 +674,39 @@ object BinaryCarver {
     * (findQuantiles over the weighted representatives) reproduces the
     * sketched edges. Returns feature -> ascending distinct edges.
     */
-  def sketchHighCardinality(df: DataFrame, specs: Seq[FeatureSpec], config: Config): Map[String, Vector[Double]] = {
-    if (config.sketchCardinalityThreshold <= 0) return Map.empty
-    val quants = specs.filter(_.kind == "quantitative")
-    if (quants.isEmpty) return Map.empty
+  def sketchHighCardinality(df: DataFrame, specs: Seq[FeatureSpec], config: Config): Map[String, Vector[Double]] =
+    sketchWithExtras(df, specs, config, Nil)._1
+
+  /** [[sketchHighCardinality]] with caller-supplied extra aggregate columns
+    * riding the SAME job (guide §2.3 "aggregate before you shuffle" /
+    * fewer passes): e.g. the continuous carver's distinct-y median gate —
+    * one scan instead of two. Extras must be pre-aliased; the returned Row
+    * (when any aggregation ran) carries them by those aliases.
+    */
+  def sketchWithExtras(df: DataFrame, specs: Seq[FeatureSpec], config: Config,
+      extras: Seq[org.apache.spark.sql.Column]): (Map[String, Vector[Double]], Option[org.apache.spark.sql.Row]) = {
+    val quants =
+      if (config.sketchCardinalityThreshold <= 0) Nil
+      else specs.filter(_.kind == "quantitative")
     val q = math.rint(2.0 / config.minFreq).toInt // = round(1/halfMinFreq)
     val probs = (1 until q).map(_.toDouble / q).toArray
     val accuracy = math.min(math.rint(1.0 / config.sketchRelativeError), 100000.0).toInt
-    val aggs = quants.flatMap { s =>
+    val quantAggs = quants.flatMap { s =>
       Seq(
         approx_count_distinct(col(s.name)).as(s"${s.name}__acd"),
         percentile_approx(col(s.name).cast("double"), typedlit(probs), lit(accuracy))
           .as(s"${s.name}__pq"))
     }
+    val aggs = quantAggs ++ extras
+    if (aggs.isEmpty) return (Map.empty, None)
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    quants.flatMap { s =>
+    val sketched = quants.flatMap { s =>
       if (row.getAs[Long](s"${s.name}__acd") <= config.sketchCardinalityThreshold) None
       else Option(row.getSeq[Double](row.fieldIndex(s"${s.name}__pq"))).map { edges =>
         s.name -> edges.filterNot(_.isNaN).distinct.sorted.toVector
       }
     }.toMap
+    (sketched, Some(row))
   }
 
   /** Deterministic CV fold key (C4): `pmod(xxhash64(features..., y), cv)` —

@@ -18,6 +18,34 @@ import scala.collection.mutable
 object ContinuousCarver {
   import BinaryCarver.{FeatureSpec, FittedFeature, Model, Prep, Config, NanLabel, OtherLabel}
 
+  /** Cluster products of a continuous fit that do NOT depend on the rate
+    * strategy: prebin state, rank statistics, tie corrections, the
+    * distinct-y gate reading. A caller fitting several configs over the
+    * SAME (train, specs) — e.g. target_mean and target_median — computes
+    * these once and calls [[fitFromStages]] per config (guide §1.2: the
+    * distributed algorithm first; re-scanning identical passes per config
+    * is pure waste). `yHists` is the optional per-modality y histogram the
+    * median rate needs (filled when the stages were computed for a
+    * median fit; [[fitFromStages]] recomputes it in one job otherwise).
+    */
+  final case class Stages(
+      stageConfig: Config,
+      sketched: Map[String, Vector[Double]],
+      distinctY: Long, // approx_count_distinct(y); -1 = not measured
+      trainHist: Map[String, Array[BinaryCarver.HistRow]],
+      foldHists: Seq[Map[String, Array[BinaryCarver.HistRow]]],
+      prep: Map[String, Prep],
+      // per feature: label -> (n, Σrank_all, Σrank_sub, Σy, Σy²)
+      rows: Map[String, Map[String, (Double, Double, Double, Double, Double)]],
+      ties: Map[String, (Double, Double)],
+      yHists: Map[String, Map[String, Array[(Double, Double)]]]
+  )
+
+  /** Stage-compatibility view of a config: every field except the rate
+    * strategy / sort label (which only affect the driver-side search).
+    */
+  private def stageKey(c: Config): Config = c.copy(rateStrategy = "", sortBy = "")
+
   def fit(
       train: DataFrame,
       target: String,
@@ -27,6 +55,27 @@ object ContinuousCarver {
   ): Model = {
     val guarded = BinaryCarver.guardTarget(target, specs)
     if (guarded.length != specs.length) return fit(train, target, guarded, dev, config)
+    val stages = computeStages(train, target, specs, config,
+      withYHists = config.rateStrategy == "target_median")
+    fitFromStages(train, target, guarded, dev, config, stages)
+  }
+
+  /** The cluster passes shared across rate strategies: sketch (+ distinct-y
+    * gate on the same job), histogram, and the exact rank-stat aggregation
+    * — restructured (optimization round 7) around ONE persisted
+    * `(feature, modality, y) → count` aggregate that every downstream
+    * collect derives from, instead of re-scanning the input per collect:
+    * 3 input scans total (sketch, histogram, rank aggregate) where the
+    * previous shape paid 5-6 for a median fit.
+    */
+  def computeStages(
+      train: DataFrame,
+      target: String,
+      specs0: Seq[FeatureSpec],
+      config: Config,
+      withYHists: Boolean = false
+  ): Stages = {
+    val specs = BinaryCarver.guardTarget(target, specs0)
     require(config.dropna,
       "[ContinuousCarver] dropna=false is only supported by the binary/OvR search path")
     BinaryCarver.validateInputs(train, target, specs)
@@ -39,7 +88,11 @@ object ContinuousCarver {
 
     // ---- pass 1: shared histogram → prebins (quantile edges, merges, OTHER).
     // cv>1 folds ride the SAME scan (fold key as one more groupBy column).
-    val sketched = BinaryCarver.sketchHighCardinality(train, specs, config)
+    // The R4 distinct-y gate rides the SKETCH job as one extra aggregate —
+    // previously its own full scan of (possibly expensive) y.
+    val (sketched, sketchRow) = BinaryCarver.sketchWithExtras(train, specs, config,
+      Seq(approx_count_distinct(col(target)).as("__graft_y_acd")))
+    val distinctY = sketchRow.map(_.getAs[Long]("__graft_y_acd")).getOrElse(-1L)
     val (trainHist, foldHists) =
       if (config.cv > 1) BinaryCarver.histogramWithFolds(train, target, specs, config.cv, sketched, Option(config.foldCol))
       else (BinaryCarver.histogram(train, target, specs, sketched), Nil)
@@ -60,14 +113,65 @@ object ContinuousCarver {
     }.toMap
 
     // ---- pass 2: rank stats per (feature, modality), both rank bases
+    val approxMedian = withYHists && distinctY > config.medianExactMaxDistinctY
+    val (rows, ties, yHists) =
+      rankStatsJob(train, target, specs, prep, withYHists, approxMedian)
+    Stages(config, sketched, distinctY, trainHist, foldHists, prep, rows, ties, yHists)
+  }
+
+  /** Driver-side search per rate strategy over precomputed [[Stages]]; the
+    * only cluster work left is the median path's y histograms (one job)
+    * when the stages were computed without them, plus any dev/fold median
+    * views.
+    */
+  def fitFromStages(
+      train: DataFrame,
+      target: String,
+      specs: Seq[FeatureSpec],
+      dev: Option[DataFrame],
+      config: Config,
+      stages: Stages
+  ): Model = {
+    require(stageKey(config) == stageKey(stages.stageConfig),
+      "[ContinuousCarver] stages were computed under an incompatible config " +
+        s"(${stages.stageConfig} vs $config) — only rateStrategy/sortBy may differ")
+    val sketched = stages.sketched
+    val trainHist = stages.trainHist
+    val foldHists = stages.foldHists
+    val prep = stages.prep
+
     val withMedians = config.rateStrategy == "target_median"
-    // R4 cardinality gate (same shape as sketchHighCardinality): the exact
-    // median histogram collect is O(distinct-y) driver-side — route a
-    // high-cardinality y through the percentile_approx grid instead
-    val approxMedian = withMedians &&
-      train.agg(approx_count_distinct(col(target))).head().getLong(0) >
-        config.medianExactMaxDistinctY
-    val rankStats = rankStatsJob(train, target, specs, prep, withMedians, approxMedian)
+    // R4 cardinality gate (same reading as before — approx_count_distinct —
+    // now measured on the sketch job; -1 means the stages never measured it
+    // (no aggregation ran), so measure here before the collect)
+    val distinctY =
+      if (!withMedians) stages.distinctY
+      else if (stages.distinctY >= 0) stages.distinctY
+      else train.agg(approx_count_distinct(col(target))).head().getLong(0)
+    val approxMedian = withMedians && distinctY > config.medianExactMaxDistinctY
+    val yHists: Map[String, Map[String, Array[(Double, Double)]]] =
+      if (!withMedians) Map.empty
+      else if (stages.yHists.nonEmpty) stages.yHists
+      else yHistsOf(longForm(train, target, specs, prep), approxMedian)
+    def rankStats(name: String): (Continuous.RankXagg, Continuous.RankXagg, Map[String, (Double, Double, Double)]) = {
+      val p = prep(name)
+      val rows = stages.rows.getOrElse(name, Map.empty)
+      val (tca, tcs) = stages.ties.getOrElse(name, (1.0, 1.0))
+      def mk(labels: Vector[String], useSub: Boolean, tieCorr: Double): Continuous.RankXagg =
+        Continuous.RankXagg(
+          labels,
+          labels.map(l => rows.get(l).map(_._1).getOrElse(0.0)).toArray,
+          labels.map(l => rows.get(l).map(t => if (useSub) t._3 else t._2).getOrElse(0.0)).toArray,
+          labels.map(l => rows.get(l).map(_._4).getOrElse(0.0)).toArray,
+          tieCorr,
+          if (withMedians) "target_median" else "target_mean",
+          yHists.getOrElse(name, Map.empty)
+        )
+      val fullLabels = p.xagg.labels
+      val subLabels = fullLabels.filterNot(_ == NanLabel)
+      val moments = rows.view.mapValues(t => (t._1, t._4, t._5)).toMap
+      (mk(subLabels, useSub = true, tcs), mk(fullLabels, useSub = false, tca), moments)
+    }
 
     // ---- dev pass: (n, Σy) per modality is all the vetoes need
     val devHist = dev.map(d => BinaryCarver.histogram(d, target, specs, sketched))
@@ -174,7 +278,33 @@ object ContinuousCarver {
       when(c.isNull, lit(NanLabel)).otherwise(mapped)
     }
 
-  /** (subset-rank xagg without NaN, full-rank xagg incl NaN) per feature. */
+  /** Long-form `(fid, lbl, y)` frame — one row per (input row × feature). */
+  private def longForm(df: DataFrame, target: String, specs: Seq[FeatureSpec],
+      prep: Map[String, Prep]): DataFrame = {
+    val y = col(target).cast("double")
+    val entries = specs.map { s =>
+      struct(lit(s.name).as("fid"), labelExpr(s, prep(s.name)).as("lbl"))
+    }
+    df.select(explode(array(entries: _*)).as("e"), y.as("y"))
+      .select(col("e.fid").as("fid"), col("e.lbl").as("lbl"), col("y"))
+  }
+
+  /** Exact average-rank statistics per (feature, modality), both rank
+    * bases, as plain collected data:
+    * `(rows: fid -> lbl -> (n, Σrank_all, Σrank_sub, Σy, Σy²),
+    *   ties: fid -> (tieCorr_all, tieCorr_sub), yHists)`.
+    *
+    * Restructured (optimization round 7, guide §1.2/§2.3): ONE persisted
+    * `(fid, lbl, y) → count` aggregate (`ylh`) feeds every downstream
+    * derivation — the per-(fid, y) pools, the bucket offsets + tie sums
+    * (one combined collect), the rank join, and (exact path) the median
+    * y histograms — instead of re-scanning the input table per collect.
+    * All downstream sums weight by the count: ranks are exact multiples
+    * of 0.5 and counts are integers, so the weighted sums equal the
+    * previous per-row sums exactly (no floating-point divergence for
+    * integer-valued rank/count arithmetic; Σy re-associates identically
+    * to the previous grouped shuffle).
+    */
   private def rankStatsJob(
       df: DataFrame,
       target: String,
@@ -182,25 +312,25 @@ object ContinuousCarver {
       prep: Map[String, Prep],
       withMedians: Boolean = false,
       approxMedian: Boolean = false
-  ): Map[String, (Continuous.RankXagg, Continuous.RankXagg, Map[String, (Double, Double, Double)])] = {
-    val y = col(target).cast("double")
-    val entries = specs.map { s =>
-      struct(lit(s.name).as("fid"), labelExpr(s, prep(s.name)).as("lbl"))
-    }
-    val long = df
-      .select(explode(array(entries: _*)).as("e"), y.as("y"))
-      .select(col("e.fid").as("fid"), col("e.lbl").as("lbl"), col("y"))
+  ): (Map[String, Map[String, (Double, Double, Double, Double, Double)]],
+      Map[String, (Double, Double)],
+      Map[String, Map[String, Array[(Double, Double)]]]) = {
+    val long = longForm(df, target, specs, prep)
 
-    // per-(feature, y): counts over all rows and over non-NaN-modality rows.
-    // Persisted: it is cardinality-sized (distinct-y × features), and three
-    // downstream actions (ties, stats join, bucket totals) would otherwise
-    // each replay the full table scan + explode.
-    val yh = long.groupBy(col("fid"), col("y"))
-      .agg(
-        count(lit(1)).as("ca"),
-        sum(when(col("lbl") =!= NanLabel, 1L).otherwise(0L)).as("cs")
-      )
+    // the ONE aggregation of the input: (feature, modality, y) → count.
+    // Cardinality-sized (modalities × distinct-y per feature); persisted so
+    // the three downstream actions derive from it instead of replaying the
+    // full table scan + explode each.
+    val ylh = long.groupBy(col("fid"), col("lbl"), col("y"))
+      .agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // per-(feature, y): counts over all rows and over non-NaN-modality rows
+    val yh = ylh.groupBy(col("fid"), col("y"))
+      .agg(
+        sum(col("c")).as("ca"),
+        sum(when(col("lbl") =!= NanLabel, col("c")).otherwise(0L)).as("cs")
+      )
 
     // Exclusive cumulative counts over y-order within each feature, WITHOUT
     // a per-feature single-task window (a web-scale continuous target has
@@ -214,8 +344,13 @@ object ContinuousCarver {
     val bucketCol = graft.transform.BinarySearchBucketize.column(
       col("y"), ySplits.toVector, ySplits.indices.toVector :+ ySplits.length, nanBin = -1)
     val yhB = yh.withColumn("bucket", bucketCol)
+    // bucket totals AND per-feature tie sums from ONE collect (the tie
+    // correction needs only per-(fid, y) counts, which this grouping
+    // already sums — the previous separate ties job re-derived them)
     val perBucketRows = yhB.groupBy(col("fid"), col("bucket"))
-      .agg(sum(col("ca")).as("na"), sum(col("cs")).as("ns"))
+      .agg(sum(col("ca")).as("na"), sum(col("cs")).as("ns"),
+        sum(col("ca") * col("ca") * col("ca") - col("ca")).as("ta"),
+        sum(col("cs") * col("cs") * col("cs") - col("cs")).as("ts"))
       .collect()
     // a null bucket is exactly a null/NaN y row (BucketizeExpr nanBin=-1):
     // the reference raises on NaN y (`base_discretizer._prepare_y`) — and
@@ -231,6 +366,17 @@ object ContinuousCarver {
         }.init.zip(sorted).map { case ((_, offA, offS), r) => r.getInt(1) -> (offA, offS) }
         fid -> offs.toMap
       }
+    // per-feature tie corrections for both pools (driver sum over buckets —
+    // same long arithmetic as the previous per-fid aggregation)
+    val ties = perBucketRows.groupBy(_.getString(0)).map { case (fid, rows) =>
+      var ta = 0L; var na = 0L; var ts = 0L; var ns = 0L
+      rows.foreach { r =>
+        ta += r.getLong(4); na += r.getLong(2); ts += r.getLong(5); ns += r.getLong(3)
+      }
+      val tca = if (na < 2) 1.0 else 1.0 - ta.toDouble / (na.toDouble * na * na - na)
+      val tcs = if (ns < 2) 1.0 else 1.0 - ts.toDouble / (ns.toDouble * ns * ns - ns)
+      fid -> (tca, tcs)
+    }
     def offsetExpr(pick: ((Long, Long)) => Long): Column = {
       val entries = perBucket.toSeq.flatMap { case (fid, offs) =>
         offs.toSeq.map { case (b, o) => s"$fid#$b" -> pick(o) }
@@ -246,65 +392,41 @@ object ContinuousCarver {
       .withColumn("rank_all", col("cuma") + (col("ca") + 1) / 2.0)
       .withColumn("rank_sub", col("cums") + (col("cs") + 1) / 2.0)
 
-    // per-feature tie corrections for both pools
-    val ties = ranked.groupBy(col("fid")).agg(
-      sum(col("ca") * col("ca") * col("ca") - col("ca")).as("ta"),
-      sum(col("ca")).as("na"),
-      sum(col("cs") * col("cs") * col("cs") - col("cs")).as("ts"),
-      sum(col("cs")).as("ns")
-    ).collect().map { r =>
-      val na = r.getLong(2).toDouble
-      val ns = r.getLong(4).toDouble
-      val tca = if (na < 2) 1.0 else 1.0 - r.getLong(1).toDouble / (na * na * na - na)
-      val tcs = if (ns < 2) 1.0 else 1.0 - r.getLong(3).toDouble / (ns * ns * ns - ns)
-      r.getString(0) -> (tca, tcs)
-    }.toMap
-
-    val stats = long.join(ranked.select(col("fid"), col("y"), col("rank_all"), col("rank_sub")), Seq("fid", "y"))
+    // modality stats: the rank join runs over the cardinality-sized ylh
+    // (both sides derived from the persisted aggregate), count-weighted —
+    // never over the full long-form frame
+    val stats = ylh.join(ranked.select(col("fid"), col("y"), col("rank_all"), col("rank_sub")), Seq("fid", "y"))
       .groupBy(col("fid"), col("lbl"))
       .agg(
-        count(lit(1)).as("n"),
-        sum(col("rank_all")).as("ra"),
-        sum(col("rank_sub")).as("rs"),
-        sum(col("y")).as("sy"),
-        sum(col("y") * col("y")).as("syy")
+        sum(col("c")).as("n"),
+        sum(col("rank_all") * col("c")).as("ra"),
+        sum(col("rank_sub") * col("c")).as("rs"),
+        sum(col("y") * col("c")).as("sy"),
+        sum(col("y") * col("y") * col("c")).as("syy")
       )
       .collect()
-    yh.unpersist()
 
-    val byFid = mutable.Map.empty[String, mutable.ArrayBuffer[(String, Double, Double, Double, Double, Double)]]
-    stats.foreach { r =>
-      byFid.getOrElseUpdate(r.getString(0), mutable.ArrayBuffer.empty) +=
-        ((r.getString(1), r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4), r.getDouble(5),
-          r.getDouble(6)))
-    }
-
-    // per-(feature, modality) y histogram for the median rate (R4): one more
-    // grouped collect — bounded by modalities × distinct-y on the exact
-    // path, by modalities × the percentile grid on the gated approx path
+    // per-(feature, modality) y histogram for the median rate (R4): the
+    // exact path IS the persisted ylh aggregate (one cheap collect); the
+    // gated approx path runs its percentile grid over the raw long frame
     val yHists: Map[String, Map[String, Array[(Double, Double)]]] =
       if (!withMedians) Map.empty
-      else yHistsOf(long, approxMedian)
+      else if (approxMedian) yHistsOf(long, approx = true)
+      else {
+        val h = ylh.collect()
+        h.groupBy(_.getString(0)).view.mapValues { rows =>
+          rows.groupBy(_.getString(1)).view.mapValues(
+            _.map(r => (r.getDouble(2), r.getLong(3).toDouble)).toArray).toMap
+        }.toMap
+      }
+    ylh.unpersist()
 
-    specs.map { s =>
-      val p = prep(s.name)
-      val rows = byFid.getOrElse(s.name, mutable.ArrayBuffer.empty).map(t => t._1 -> t).toMap
-      val (tca, tcs) = ties.getOrElse(s.name, (1.0, 1.0))
-      def mk(labels: Vector[String], useSub: Boolean, tieCorr: Double): Continuous.RankXagg =
-        Continuous.RankXagg(
-          labels,
-          labels.map(l => rows.get(l).map(_._2).getOrElse(0.0)).toArray,
-          labels.map(l => rows.get(l).map(t => if (useSub) t._4 else t._3).getOrElse(0.0)).toArray,
-          labels.map(l => rows.get(l).map(_._5).getOrElse(0.0)).toArray,
-          tieCorr,
-          if (withMedians) "target_median" else "target_mean",
-          yHists.getOrElse(s.name, Map.empty)
-        )
-      val fullLabels = p.xagg.labels
-      val subLabels = fullLabels.filterNot(_ == NanLabel)
-      val moments = rows.view.mapValues(t => (t._2, t._5, t._6)).toMap
-      s.name -> ((mk(subLabels, useSub = true, tcs), mk(fullLabels, useSub = false, tca), moments))
-    }.toMap
+    val byFid = mutable.Map.empty[String, mutable.Map[String, (Double, Double, Double, Double, Double)]]
+    stats.foreach { r =>
+      byFid.getOrElseUpdate(r.getString(0), mutable.Map.empty)(r.getString(1)) =
+        ((r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    }
+    (byFid.view.mapValues(_.toMap).toMap, ties, yHists)
   }
 
   // ------------------------------------------- target_median y histograms

@@ -156,6 +156,23 @@ object OrdinalCarver {
   ): Model = {
     val guarded = BinaryCarver.guardTarget(target, specs)
     if (guarded.length != specs.length) return fit(train, target, guarded, dev, config)
+    val (trainHist, foldHists, sketched) = histStage(train, target, guarded, config)
+    val devHist = dev.map(d => histogramK(d, target, guarded, sketched))
+    fitFromHistograms(trainHist, devHist, target, guarded, config, foldHists)
+  }
+
+  /** The cluster passes of a fit (validation, sketch, K-histogram ±folds) —
+    * independent of the target scale / sort measure, so a caller fitting
+    * several search configs over the SAME (train, specs) computes them once
+    * and calls [[fitFromHistograms]] per config (guide §1.2). Returns
+    * (train K-histogram, fold K-histograms, sketched edges).
+    */
+  def histStage(
+      train: DataFrame,
+      target: String,
+      specs: Seq[FeatureSpec],
+      config: Config
+  ): (Map[String, Array[KHistRow]], Seq[Map[String, Array[KHistRow]]], Map[String, Vector[Double]]) = {
     BinaryCarver.validateInputs(train, target, specs)
     // reference OrdinalCarver._prepare_samples: non-numeric y is a typed
     // error up front (the ANSI cast in the histogram would throw a raw
@@ -170,8 +187,7 @@ object OrdinalCarver {
     val (trainHist, foldHists) =
       if (config.cv > 1) histogramKWithFolds(train, target, specs, config.cv, sketched, Option(config.foldCol))
       else (histogramK(train, target, specs, sketched), Nil)
-    val devHist = dev.map(d => histogramK(d, target, specs, sketched))
-    fitFromHistograms(trainHist, devHist, target, specs, config, foldHists)
+    (trainHist, foldHists, sketched)
   }
 
   def fitFromHistograms(
