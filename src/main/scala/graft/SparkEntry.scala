@@ -366,9 +366,11 @@ object SparkEntry {
       // reference fixture, so a single drifted edge, relabeled bin, or
       // lost map entry in the save/load path flips the hash.
       val m = carveDocs(s, dir)
-      val path = java.nio.file.Files.createTempFile("graft_model", ".json").toString
-      m.save(path)
-      val loaded = graft.carve.BinaryCarver.load(path)
+      val path = java.nio.file.Files.createTempFile("graft_model", ".json")
+      m.save(path.toString)
+      val loaded = graft.carve.BinaryCarver.load(path.toString)
+      // the artifact is fully parsed into the model — no later read touches it
+      java.nio.file.Files.deleteIfExists(path)
       loaded.transform(Tables.documents(s, dir).withColumn("y", docLabel), keepOriginal = true)
         .select(col("doc_id") +: loaded.kept.map(f => col(s"${f.name}_bin")): _*)
     }),
@@ -396,6 +398,7 @@ object SparkEntry {
       val poisoned = df.withColumn("y", lit(1) - col("y"))
       val histJson = IcebergLite.loadCheckpoint(tmp, "hist", 1L, cfgHash).getOrElse(
         HistJson.write(BinaryCarver.histogram(poisoned, "y", specs)))
+      deleteRecursively(tmp) // checkpoint fully read; the refit is driver-only
       fitRowsDF(s, BinaryCarver.fitFromHistograms(HistJson.read(histJson), None, "y", specs))
     }),
     "q_cli_workflow" -> ((s, dir) => {
@@ -421,7 +424,11 @@ object SparkEntry {
       call("run_carver", "task" -> JString("binary"),
         "min_freq" -> JDouble(0.02), "max_n_mod" -> JInt(5))
       call("save_carver", "path" -> JString(s"$tmp/carver.json"))
-      fitRowsDF(s, graft.carve.RefJson.load(s"$tmp/carver.json"))
+      val model = graft.carve.RefJson.load(s"$tmp/carver.json")
+      // artifact parsed and the returned frame is built from the in-memory
+      // model rows — the temp parquet/json are not referenced again
+      deleteRecursively(tmp)
+      fitRowsDF(s, model)
     }),
     "q_multimodal_decode" -> ((s, dir) => {
       // L9 decode upgraded from stub to REAL: javax.imageio PNG decode +
@@ -813,6 +820,18 @@ object SparkEntry {
 
   /** deterministic binary label over documents for the carver queries */
   private def docLabel = when(col("n_chars") > 300, lit(1)).otherwise(lit(0))
+
+  /** Best-effort recursive delete of a query's temp artifacts (repeated
+    * bench/correctness runs must not accumulate garbage).
+    */
+  private def deleteRecursively(path: String): Unit =
+    try {
+      val root = java.nio.file.Paths.get(path)
+      if (java.nio.file.Files.exists(root)) {
+        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      }
+    } catch { case _: Throwable => () }
 
   /** fit summary rows in the fixture-oracle shape (feature, bin, label,
     * r6(rate), n) — shared by every binary-carve fixture query

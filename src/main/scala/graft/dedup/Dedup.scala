@@ -33,11 +33,23 @@ object Dedup {
       )
 
   /** Keep one row per distinct text (min id wins) — the applied form of
-    * exactGroups. Window-free formulation: semi join on the keeper set.
+    * exactGroups. Window-free formulation: partial-aggregated keeper set
+    * (groupBy digest → min id, exactly [[exactGroups]]' shape) + semi join
+    * back on (digest, id). At 100 TB the hottest digest (an empty or
+    * boilerplate page duplicated ~10⁹×) pre-aggregates map-side instead of
+    * funnelling every copy into ONE window task; the semi join carries the
+    * 16-byte digest + id, never the text.
     */
   def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol).asc)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    val withDigest = df.withColumn("__md5", md5(col(textCol).cast("binary")))
+    val keepers = withDigest
+      .groupBy(col("__md5"))
+      .agg(min(col(idCol)).as("__keep"))
+    withDigest
+      .join(keepers,
+        withDigest("__md5") === keepers("__md5") && withDigest(idCol) === keepers("__keep"),
+        "leftsemi")
+      .drop("__md5")
   }
 
   // ---------------------------------------------------------------- MinHash
@@ -195,8 +207,10 @@ object Dedup {
       seed: Long = 42L,
       datasetTag: String = ""
   ): DataFrame =
+    // v2: null-text signature convention changed (all-MaxValue -> NULL) —
+    // pre-change v1 tables would mix conventions if reused
     graft.tables.IcebergLite.cachedParquet(df.sparkSession, table,
-      s"minhash:v1:$numHashes:$shingleK:$seed:$datasetTag") { dataPath =>
+      s"minhash:v2:$numHashes:$shingleK:$seed:$datasetTag") { dataPath =>
       withMinhash(df, textCol, numHashes, shingleK, seed)
         .select(col(idCol).as("id"), col("minhash"))
         .write.mode("overwrite").parquet(dataPath)
@@ -537,17 +551,33 @@ object Dedup {
     val pairs = minhashCandidatePairs(df, idCol, textCol, shingleK = shingleK)
       .filter(col("est_jaccard") >= minEstJaccard)
       .select(col("id_a"), col("id_b"))
+    connectedComponents(df.select(col(idCol)),
+      pairs.unionByName(shortTextEdges(df, idCol, textCol, shingleK)))
+  }
+
+  /** Star edges linking identical SHORT texts (below the shingle window) to
+    * their min-id keeper — the exact-path complement of LSH inside
+    * [[nearDupComponents]]. NULL text (missing / failed extraction) must
+    * NOT link: all nulls share one md5 digest, which would merge every
+    * extraction failure into a single "duplicate" cluster. Nulls stay
+    * singletons.
+    *
+    * Window-free: groupBy(digest) → min id (map-side partial aggregation)
+    * + join back — a boilerplate short text duplicated ~10⁹× at web scale
+    * pre-aggregates per map task instead of funnelling every copy into ONE
+    * window task (same rows as the former min().over(partitionBy(md5))
+    * formulation; pinned window-free by PlanAuditSpec).
+    */
+  def shortTextEdges(df: DataFrame, idCol: String, textCol: String, shingleK: Int): DataFrame = {
     val normText = trim(lower(col(textCol)))
-    val wShort = Window.partitionBy(md5(normText.cast("binary")))
-    // NULL text (missing / failed extraction) must NOT link: all nulls share
-    // one md5 partition, which would merge every extraction failure into a
-    // single "duplicate" cluster and drop all but one. Nulls stay singletons.
-    val shortEdges = df
+    val shorts = df
       .filter(col(textCol).isNotNull && length(normText) < shingleK)
-      .select(col(idCol).as("id_b"), min(col(idCol)).over(wShort).as("id_a"))
+      .select(col(idCol).as("id_b"), md5(normText.cast("binary")).as("__md5"))
+    val shortKeepers = shorts.groupBy(col("__md5")).agg(min(col("id_b")).as("id_a"))
+    shorts
+      .join(shortKeepers, Seq("__md5"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"))
-    connectedComponents(df.select(col(idCol)), pairs.unionByName(shortEdges))
   }
 
   /** Exact word n-gram Jaccard similarity for all pairs sharing at least

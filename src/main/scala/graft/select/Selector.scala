@@ -74,10 +74,24 @@ object Selector {
       df: DataFrame,
       target: String,
       quals: Seq[String]
+  ): Map[String, FeatureRank] =
+    qualitativeMetricsFromHist(qualHistogram(df, target, quals), quals)
+
+  /** The one-pass categorical histogram shared by every qualitative
+    * selector measure (gates, Cramér's V, Tschuprow's T) — compute once per
+    * (df, quals) and derive all of them (guide §1.2: selectTask used to run
+    * this identical job twice).
+    */
+  def qualHistogram(df: DataFrame, target: String, quals: Seq[String])
+      : Map[String, Array[BinaryCarver.HistRow]] =
+    if (quals.isEmpty) Map.empty
+    else BinaryCarver.histogram(df, target, quals.map(n => BinaryCarver.FeatureSpec(n, "categorical")))
+
+  private def qualitativeMetricsFromHist(
+      hist: Map[String, Array[BinaryCarver.HistRow]],
+      quals: Seq[String]
   ): Map[String, FeatureRank] = {
     if (quals.isEmpty) return Map.empty
-    val specs = quals.map(n => BinaryCarver.FeatureSpec(n, "categorical"))
-    val hist = BinaryCarver.histogram(df, target, specs)
     quals.map { name =>
       val rows = hist.getOrElse(name, Array.empty)
       val total = rows.map(_.count).sum.toDouble
@@ -109,6 +123,19 @@ object Selector {
       df: DataFrame,
       target: String,
       quants: Seq[String]
+  ): Map[String, FeatureRank] = quantitativeMetricsWith(df, target, quants, None)
+
+  /** [[quantitativeMetrics]] with an optional precomputed Spearman map:
+    * the regression/ordinal task preset already ran spearmanByFeature for
+    * its ranking override, and the classification preset never reads the
+    * spearman column — either way the duplicate multi-stage rank pass is
+    * skipped (`Some(Map.empty)` = don't compute, report NaN).
+    */
+  private def quantitativeMetricsWith(
+      df: DataFrame,
+      target: String,
+      quants: Seq[String],
+      spearmanPre: Option[Map[String, Double]]
   ): Map[String, FeatureRank] = {
     if (quants.isEmpty) return Map.empty
     val y = col(target).cast("double")
@@ -121,7 +148,7 @@ object Selector {
       )
     }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val sp = spearmanByFeature(df, target, quants)
+    val sp = spearmanPre.getOrElse(spearmanByFeature(df, target, quants))
 
     quants.map { n =>
       val nanF = Option(row.getAs[java.lang.Double](s"${n}__nan")).map(_.toDouble).getOrElse(0.0)
@@ -448,29 +475,40 @@ object Selector {
       quals: Seq[String],
       task: String,
       config: Config = Config()
-  ): Selection = {
-    val (overrides: Map[String, Double], names: Map[String, String]) = task match {
-      case "classification" =>
-        (kruskalByFeature(df, target, quants).view.mapValues(_.etaSq).toMap ++
-          tschuprowtByFeature(df, target, quals),
-          Map("quantitative" -> "Kruskal", "categorical" -> "TschuprowT"))
-      case "regression" | "ordinal" =>
-        (spearmanByFeature(df, target, quants).view.mapValues(math.abs(_)).toMap ++
-          kruskalReversedByFeature(df, target, quals).view.mapValues(_.etaSq).toMap,
-          Map("quantitative" -> "Spearman", "categorical" -> "KruskalReversed"))
-      case other => throw new IllegalArgumentException(
-        s"unknown task '$other' (classification | regression | ordinal)")
-    }
-    selectWith(df, target, quants, quals, config, overrides, names)
+  ): Selection = task match {
+    case "classification" =>
+      // the qualitative histogram serves BOTH the Tschuprow T override and
+      // the gate metrics; the spearman column is never read under a task
+      // preset, so its rank pass is skipped (Some(Map.empty))
+      val hist = qualHistogram(df, target, quals)
+      val overrides = kruskalByFeature(df, target, quants).view.mapValues(_.etaSq).toMap ++
+        tschuprowtFromHist(hist, quals)
+      selectWith(df, target, quants, quals, config, overrides,
+        Map("quantitative" -> "Kruskal", "categorical" -> "TschuprowT"),
+        qualHist = Some(hist), spearmanPre = Some(Map.empty))
+    case "regression" | "ordinal" =>
+      // the spearman override IS the spearman metric — pass it through
+      // instead of re-running the identical rank pass inside
+      // quantitativeMetrics
+      val sp = spearmanByFeature(df, target, quants)
+      val overrides = sp.view.mapValues(math.abs(_)).toMap ++
+        kruskalReversedByFeature(df, target, quals).view.mapValues(_.etaSq).toMap
+      selectWith(df, target, quants, quals, config, overrides,
+        Map("quantitative" -> "Spearman", "categorical" -> "KruskalReversed"),
+        spearmanPre = Some(sp))
+    case other => throw new IllegalArgumentException(
+      s"unknown task '$other' (classification | regression | ordinal)")
   }
 
   /** Tschuprow's T per qualitative feature vs the target (classification
     * ranking measure) — same one-pass histogram as qualitativeMetrics.
     */
-  def tschuprowtByFeature(df: DataFrame, target: String, quals: Seq[String]): Map[String, Double] = {
+  def tschuprowtByFeature(df: DataFrame, target: String, quals: Seq[String]): Map[String, Double] =
+    tschuprowtFromHist(qualHistogram(df, target, quals), quals)
+
+  private def tschuprowtFromHist(
+      hist: Map[String, Array[BinaryCarver.HistRow]], quals: Seq[String]): Map[String, Double] = {
     if (quals.isEmpty) return Map.empty
-    val specs = quals.map(n => BinaryCarver.FeatureSpec(n, "categorical"))
-    val hist = BinaryCarver.histogram(df, target, specs)
     quals.map { name =>
       val nonNull = hist.getOrElse(name, Array.empty).filterNot(_.isNull)
       val obs = nonNull.map(r => Array(r.count - r.sumY, r.sumY))
@@ -538,9 +576,15 @@ object Selector {
       // ranking-measure display names per kind (the report's `measure`
       // column — reference strips the "Measure" suffix the same way)
       measureNames: Map[String, String] = Map(
-        "quantitative" -> "Pearson", "categorical" -> "CramerV")
+        "quantitative" -> "Pearson", "categorical" -> "CramerV"),
+      qualHist: Option[Map[String, Array[BinaryCarver.HistRow]]] = None,
+      spearmanPre: Option[Map[String, Double]] = None
   ): Selection = {
-    val metrics = (quantitativeMetrics(df, target, quants) ++ qualitativeMetrics(df, target, quals))
+    val qualMetrics = qualHist match {
+      case Some(h) => qualitativeMetricsFromHist(h, quals)
+      case None => qualitativeMetrics(df, target, quals)
+    }
+    val metrics = (quantitativeMetricsWith(df, target, quants, spearmanPre) ++ qualMetrics)
       .values.toVector
       .map(m => assocOverride.get(m.name).fold(m)(a => m.copy(association = a)))
     val outliers: Map[String, OutlierRates] =

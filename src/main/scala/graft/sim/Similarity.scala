@@ -103,13 +103,14 @@ object Similarity {
   ): DataFrame = {
     require(probes >= 0 && probes <= 2, "probes in 0..2 (fan-out grows combinatorially)")
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
-    val planes = hyperplanes(nBits, dim, seed)
-    // Array[Double] parameter: primitive-array codec, no per-element boxing
-    val bucketUdf = udf((v: Array[Double]) => signBucket(v, planes))
+    // codegen sign-bucket expression (bands=1 of nBits planes — identical
+    // keys to the former signBucket UDF, no UDF boxing on the corpus scan)
+    def bucketCol(v: org.apache.spark.sql.Column) =
+      element_at(graft.transform.SignBandKeys.column(v, 1, nBits, dim, seed), 1)
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
-      .withColumn("bucket", bucketUdf(col("nvec")))
+      .withColumn("bucket", bucketCol(col("nvec")))
     val q0 = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
-      .withColumn("bucket", bucketUdf(col("qvec")))
+      .withColumn("bucket", bucketCol(col("qvec")))
     val q =
       if (probes == 0) q0
       else {
@@ -161,23 +162,6 @@ object Similarity {
       datasetTag: String = ""
   ): DataFrame = {
     val dim = df.select(size(col(vecCol))).first().getInt(0)
-    val allPlanes = hyperplanes(bands * bitsPerBand, dim, seed)
-    val sigUdf = udf { (vec: Array[Double]) =>
-      Array.tabulate(bands) { b =>
-        var key = 0L
-        var i = 0
-        while (i < bitsPerBand) {
-          val p = allPlanes(b * bitsPerBand + i)
-          var s = 0.0
-          var j = 0
-          val n = math.min(p.length, vec.length)
-          while (j < n) { s += p(j) * vec(j); j += 1 }
-          if (s > 0) key |= (1L << i)
-          i += 1
-        }
-        key
-      }
-    }
     val vecs = vecCheckpoint match {
       case Some(table) =>
         graft.tables.IcebergLite.cachedParquet(df.sparkSession, table, s"embvecs:v1:$datasetTag") { dataPath =>
@@ -188,8 +172,11 @@ object Similarity {
         df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
+    // codegen banded sign-signature (identical keys to the former UDF)
     val banded = vecs
-      .select(col("id"), posexplode(sigUdf(col("vec"))).as(Seq("band", "key")))
+      .select(col("id"), posexplode(
+        graft.transform.SignBandKeys.column(col("vec"), bands, bitsPerBand, dim, seed))
+        .as(Seq("band", "key")))
     // cap membership BEFORE aggregation: the row_number window spills per
     // partition, whereas a post-collect_list slice would first gather the
     // ENTIRE bucket into one in-memory aggregation buffer — OOM on a

@@ -54,6 +54,23 @@ class PlanAuditSpec extends SparkSuite {
     assert(!plan("q_ngram_jaccard").contains("windowspecdefinition(gram"))
   }
 
+  test("no window partitioned on a text digest (applied dedup paths de-windowed)") {
+    // VERDICT r6 item 2: row_number()/min() over partitionBy(md5(text))
+    // funnels every copy of the hottest digest (an empty/boilerplate page
+    // duplicated ~10⁹× at web scale) into ONE window task. Both applied
+    // paths now pre-aggregate the keeper set (groupBy digest → min id,
+    // map-side partial aggregation) and join back — no window at all.
+    val docs = graft.tables.Tables.documents(spark, sfDir)
+    val dropper = graft.dedup.Dedup.dropExactDuplicates(docs, "doc_id", "text")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!dropper.contains("windowspecdefinition"),
+      "dropExactDuplicates must stay window-free")
+    val shortEdges = graft.dedup.Dedup.shortTextEdges(docs, "doc_id", "text", 5)
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(!shortEdges.contains("windowspecdefinition"),
+      "shortTextEdges (nearDupComponents exact path) must stay window-free")
+  }
+
   test("leakage guard pushes the as-of filter into the parquet scan") {
     val p = plan("q_leakage_guard")
     assert(p.contains("PushedFilters"), p.take(800))
