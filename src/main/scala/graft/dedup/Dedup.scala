@@ -546,10 +546,16 @@ object Dedup {
       idCol: String,
       textCol: String,
       minEstJaccard: Double = 0.5,
-      shingleK: Int = 5
+      shingleK: Int = 5,
+      // precomputed LSH candidate pairs (id_a, id_b), e.g. shared with a
+      // verification stage that already generated them — the production
+      // pipeline computes candidates ONCE and feeds both verify and
+      // clustering from the same set
+      pairsPre: Option[DataFrame] = None
   ): DataFrame = {
-    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleK = shingleK)
-      .filter(col("est_jaccard") >= minEstJaccard)
+    val pairs = pairsPre.getOrElse(
+        minhashCandidatePairs(df, idCol, textCol, shingleK = shingleK)
+          .filter(col("est_jaccard") >= minEstJaccard))
       .select(col("id_a"), col("id_b"))
     connectedComponents(df.select(col(idCol)),
       pairs.unionByName(shortTextEdges(df, idCol, textCol, shingleK)))
