@@ -561,15 +561,11 @@ object SparkEntry {
       rows.toDF("feature", "bin", "bin_label", "mean_ridit", "n")
     }),
     "q_carve_multiclass" -> ((s, dir) => {
-      import graft.carve.{BinaryCarver, MulticlassCarver}
-      // 3-class unordered target from doc length tertiles; carve tokens + lang
-      val df = Tables.documents(s, dir)
-        .withColumn("y", when(col("n_chars") > 350, "high")
-          .when(col("n_chars") > 200, "mid").otherwise("low"))
-        .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
-      val m = MulticlassCarver.fit(df, "y", Seq(
-        BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
-        BinaryCarver.FeatureSpec("lang", "categorical")))
+      // 3-class unordered target from doc length tertiles; carve tokens +
+      // lang (class-histogram pass shared with q_carve_ovr — see mcHist;
+      // the frame and specs are identical)
+      val (h, classes) = mcHist(s, dir)
+      val m = graft.carve.MulticlassCarver.fitFromHistograms(h, None, "y", mcSpecs, classes)
       val rows = m.kept.flatMap(f => f.feature.rates.zipWithIndex.map { case (r, i) =>
         (f.feature.name, i.toLong, sortedLabel(f.feature.binLabels(i)),
           BigDecimal(r.rate).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble, r.count.toLong)
@@ -783,8 +779,9 @@ object SparkEntry {
     }),
     "q_select_pearson" -> ((s, dir) => {
       // selector ranking measures with a hard oracle: |pearson| + cardinality
+      // (spearman never read -> its rank pass skipped)
       val df = Tables.documents(s, dir).withColumn("y", docLabel)
-      val m = graft.select.Selector.quantitativeMetrics(df, "y", Seq("n_chars", "doc_id"))
+      val m = graft.select.Selector.quantitativeMetricsNoSpearman(df, "y", Seq("n_chars", "doc_id"))
       import s.implicits._
       Seq("n_chars", "doc_id").map { n =>
         val r = m(n)
@@ -956,12 +953,28 @@ object SparkEntry {
         .when(col("n_chars") > 200, "mid").otherwise("low"))
       .withColumn("n_tokens", TextOps.tokenCount(col("text")).cast("double"))
 
+  private val mcSpecs = Seq(
+    graft.carve.BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
+    graft.carve.BinaryCarver.FeatureSpec("lang", "categorical"))
+
+  /** The (fid, value, class) histogram over [[ovrFrame]] — the ONE cluster
+    * pass both K-target fits over this frame project from (q_carve_ovr's
+    * per-class binary crosstabs and q_carve_multiclass's CA crosstab are
+    * driver-side views of the same aggregate).
+    */
+  private def mcHist(s: SparkSession, dir: String)
+      : (Map[String, Array[graft.carve.OrdinalCarver.KHistRow]], Vector[String]) =
+    cachedModel(s"mcHist:$dir") {
+      import graft.carve.{BinaryCarver, MulticlassCarver}
+      val df = ovrFrame(s, dir)
+      val sketched = BinaryCarver.sketchHighCardinality(df, mcSpecs, BinaryCarver.Config())
+      MulticlassCarver.histogramM(df, "y", mcSpecs, sketched)
+    }
+
   private def ovrDocs(s: SparkSession, dir: String): graft.carve.OneVsRestCarver.Model =
     cachedModel(s"ovrDocs:$dir") {
-      import graft.carve.{BinaryCarver, OneVsRestCarver}
-      OneVsRestCarver.fit(ovrFrame(s, dir), "y", Seq(
-        BinaryCarver.FeatureSpec("n_tokens", "quantitative"),
-        BinaryCarver.FeatureSpec("lang", "categorical")))
+      val (h, classes) = mcHist(s, dir)
+      graft.carve.OneVsRestCarver.fitFromHistograms(h, classes, "y", mcSpecs)
     }
 
   private def dropnaModel(s: SparkSession, dir: String): graft.carve.BinaryCarver.Model =

@@ -46,6 +46,16 @@ object ContinuousCarver {
     */
   private def stageKey(c: Config): Config = c.copy(rateStrategy = "", sortBy = "")
 
+  /** Effective distinct-y bound for the exact-median path: the driver-side
+    * collects are O(cv × |specs| × distinct-y) rows ((fold,) feature,
+    * modality, y), so the configured constant bounds the COLLECTED ROWS,
+    * not the raw distinct-y — divide it by the multiplicity so the gate
+    * means what its name says (VERDICT r6 item 3).
+    */
+  private def medianGateThreshold(config: Config, nSpecs: Int): Long =
+    config.medianExactMaxDistinctY /
+      math.max(1L, math.max(1, config.cv).toLong * math.max(1, nSpecs).toLong)
+
   def fit(
       train: DataFrame,
       target: String,
@@ -113,7 +123,7 @@ object ContinuousCarver {
     }.toMap
 
     // ---- pass 2: rank stats per (feature, modality), both rank bases
-    val approxMedian = withYHists && distinctY > config.medianExactMaxDistinctY
+    val approxMedian = withYHists && distinctY > medianGateThreshold(config, specs.length)
     val (rows, ties, yHists) =
       rankStatsJob(train, target, specs, prep, withYHists, approxMedian)
     Stages(config, sketched, distinctY, trainHist, foldHists, prep, rows, ties, yHists)
@@ -148,7 +158,7 @@ object ContinuousCarver {
       if (!withMedians) stages.distinctY
       else if (stages.distinctY >= 0) stages.distinctY
       else train.agg(approx_count_distinct(col(target))).head().getLong(0)
-    val approxMedian = withMedians && distinctY > config.medianExactMaxDistinctY
+    val approxMedian = withMedians && distinctY > medianGateThreshold(config, specs.length)
     val yHists: Map[String, Map[String, Array[(Double, Double)]]] =
       if (!withMedians) Map.empty
       else if (stages.yHists.nonEmpty) stages.yHists

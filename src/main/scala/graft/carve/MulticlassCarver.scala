@@ -529,6 +529,26 @@ object OneVsRestCarver {
         s"[OneVsRestCarver] Mismatched classes between y and y_dev: train-only $trainOnly, dev-only $devOnly")
       (h, devClasses)
     }
+    fitFromHistograms(kHist, classes, target, specs, config, kFolds, devK)
+  }
+
+  /** Driver-side remainder of [[fit]] over a precomputed class-histogram —
+    * the K−1 binary sub-fits are column-sum projections of the SAME
+    * aggregate, so a caller that already holds the (kHist, classes) pass
+    * (e.g. shared with a CA multiclass fit over the same frame) pays zero
+    * extra cluster work.
+    */
+  def fitFromHistograms(
+      kHist: Map[String, Array[KHistRow]],
+      classes: Vector[String],
+      target: String,
+      specs: Seq[FeatureSpec],
+      config: BinaryCarver.Config = BinaryCarver.Config(),
+      kFolds: Seq[Map[String, Array[KHistRow]]] = Nil,
+      devK: Option[(Map[String, Array[KHistRow]], Vector[String])] = None
+  ): Model = {
+    require(classes.length > 2, s"[OneVsRestCarver] y has ${classes.length} classes; use BinaryCarver for <=2")
+    val carved = classes.drop(1) // reference drops the first sorted class
     val perClass = carved.map { yClass =>
       val ci = classes.indexOf(yClass).toDouble
       val trainHist = binarize(kHist, ci)

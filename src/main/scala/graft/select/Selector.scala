@@ -125,6 +125,16 @@ object Selector {
       quants: Seq[String]
   ): Map[String, FeatureRank] = quantitativeMetricsWith(df, target, quants, None)
 
+  /** Gate + Pearson + cardinality only (ONE wide aggregation): for callers
+    * that never read the spearman column, skipping its multi-stage rank
+    * pass halves the job count.
+    */
+  def quantitativeMetricsNoSpearman(
+      df: DataFrame,
+      target: String,
+      quants: Seq[String]
+  ): Map[String, FeatureRank] = quantitativeMetricsWith(df, target, quants, Some(Map.empty))
+
   /** [[quantitativeMetrics]] with an optional precomputed Spearman map:
     * the regression/ordinal task preset already ran spearmanByFeature for
     * its ranking override, and the classification preset never reads the

@@ -116,6 +116,32 @@ class ContinuousSpec extends SparkSuite {
     assert(exact.kept.head.rates == exact2.kept.head.rates)
   }
 
+  test("target_median gate scales with cv × |specs| (collected-row bound, VERDICT r6 #3)") {
+    // distinct-y = 9 here. With TWO specs the effective distinct-y bound is
+    // medianExactMaxDistinctY / 2, so a threshold of 17 (eff. 8 < 9) must
+    // route through the approx grid while 18 (eff. 9 ≥ 9) stays exact.
+    val rows = (0 until 3000).map { i =>
+      val x = (i % 30).toDouble
+      val base = if (x < 10) 1.0 else if (x < 20) 5.0 else 9.0
+      (x, x + 1.0, base + (i % 3))
+    }
+    val data = rows.toDF("x", "x2", "y")
+    val specs = Seq(BinaryCarver.FeatureSpec("x", "quantitative"),
+      BinaryCarver.FeatureSpec("x2", "quantitative"))
+    val cfg = BinaryCarver.Config(sortBy = "kruskal", rateStrategy = "target_median")
+    val viaGrid = ContinuousCarver.fit(data, "y", specs,
+      config = cfg.copy(medianExactMaxDistinctY = 17L))
+    val forcedGrid = ContinuousCarver.fit(data, "y", specs,
+      config = cfg.copy(medianExactMaxDistinctY = 1L))
+    val exact = ContinuousCarver.fit(data, "y", specs,
+      config = cfg.copy(medianExactMaxDistinctY = 18L))
+    val exactDefault = ContinuousCarver.fit(data, "y", specs, config = cfg)
+    // threshold 17 with 2 specs behaves like the forced grid path...
+    assert(viaGrid.kept.head.rates == forcedGrid.kept.head.rates)
+    // ...and threshold 18 keeps the exact path byte-identical to default
+    assert(exact.kept.head.rates == exactDefault.kept.head.rates)
+  }
+
   test("rank stats: average ranks computed distributed match a local rankdata") {
     // tiny frame where we can rank by hand: y = [1,2,2,3], avg ranks [1,2.5,2.5,4]
     val tiny = Seq((0L, 0.0, 1.0), (1L, 0.0, 2.0), (2L, 1.0, 2.0), (3L, 1.0, 3.0))
