@@ -466,6 +466,63 @@ object Dedup {
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst")))
+    // Size-adaptive strategy (guide §3.1's broadcast-join principle applied
+    // to iteration): the edge set is ALREADY bucket-capped upstream, and
+    // when it fits comfortably on the driver, an O(E α(E)) union-find
+    // replaces the whole multi-round join loop — each distributed round
+    // costs 2 shuffle materializations regardless of |E|, pure overhead on
+    // a small subgraph. Identical labels (component = min id, the same
+    // value min-label propagation converges to). The distributed loop
+    // remains the path for big graphs (threshold conf-overridable;
+    // integer-id graphs only — Catalyst's min over strings is binary
+    // UTF-8 order, which Scala's String ordering does not match on
+    // supplementary-plane text).
+    val localEdgeThreshold = spark.conf
+      .getOption("spark.graft.cc.localEdgeThreshold").map(_.toLong).getOrElse(1000000L)
+    val idIsIntegral = edges.schema("src").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    // edges is already materialized (cut), so the count is metadata-cheap;
+    // threshold <= 0 disables the local path (and skips the count job)
+    if (idIsIntegral && localEdgeThreshold > 0 && edges.count() <= localEdgeThreshold) {
+      val e = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp)
+          x = gp
+          p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      e.foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+      }
+      // component label = min id of the set; roots were always linked
+      // toward the smaller id, so find(x) IS the min member
+      val comp = new java.util.HashMap[Long, Long]()
+      e.foreach { r =>
+        comp.put(r.getLong(0), find(r.getLong(0)))
+        comp.put(r.getLong(1), find(r.getLong(1)))
+      }
+      val idField = nodes.schema.fields.head
+      val rows = new java.util.ArrayList[org.apache.spark.sql.Row](comp.size())
+      comp.forEach((id, c) => { rows.add(org.apache.spark.sql.Row(id, c)); () })
+      val labelDf = spark.createDataFrame(rows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("__comp", org.apache.spark.sql.types.LongType))))
+      return nodes.select(col(nodes.columns.head).cast("long").as("id"))
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id").cast(idField.dataType).as("id"),
+          coalesce(col("__comp").cast(idField.dataType), col("id")).as("component"))
+    }
     // Iterate on the EDGE-INDUCED subgraph only: every node outside it is
     // its own component and needs no propagation. In a near-dup graph the
     // edge endpoints are a (often small) fraction of the corpus, so each

@@ -131,6 +131,9 @@ class DedupSpec extends SparkSuite {
     val bcastBefore = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // force the DISTRIBUTED loop (this test pins the loop's job budget;
+    // the size-adaptive driver union-find would short-circuit it)
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
     spark.sparkContext.addSparkListener(listener)
     val comp =
       try {
@@ -141,6 +144,7 @@ class DedupSpec extends SparkSuite {
         spark.sparkContext.removeSparkListener(listener)
         spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcastBefore)
+        spark.conf.unset("spark.graft.cc.localEdgeThreshold")
       }
     // setup: edges + initial labels checkpoints (2 jobs); this graph
     // converges in 2 iterations (one that changes labels, one that
@@ -192,6 +196,8 @@ class DedupSpec extends SparkSuite {
     val nodes = Seq(1L, 2L, 3L, 4L, 5L, 9L).toDF("id")
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
     spark.conf.set("spark.graft.cc.checkpointDir", dir)
+    // the durable cut only exists on the distributed loop — force it
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
     try {
       val comp = Dedup.connectedComponents(nodes, pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -199,7 +205,31 @@ class DedupSpec extends SparkSuite {
       // the per-round cuts really went through the RELIABLE checkpoint dir
       val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).count()
       assert(files > 1, "no reliable checkpoint data written")
-    } finally spark.conf.unset("spark.graft.cc.checkpointDir")
+    } finally {
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+      spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+    }
+  }
+
+  test("connectedComponents: driver union-find agrees with the distributed loop") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: chains, a star, cross links,
+    // singletons — big enough to exercise path compression
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400).map { _ =>
+      val a = rnd.nextInt(300).toLong; val b = rnd.nextInt(300).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }
+    val nodes = (0L until 320L).toDF("id")
+    val pairs = edges.toDF("id_a", "id_b")
+    val local = Dedup.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.graft.cc.localEdgeThreshold", "0")
+    val dist =
+      try Dedup.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      finally spark.conf.unset("spark.graft.cc.localEdgeThreshold")
+    assert(local == dist)
   }
 
   test("connectedComponents is id-type generic: string (URL) keys converge, no silent cast") {
