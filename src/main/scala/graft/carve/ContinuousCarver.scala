@@ -125,7 +125,7 @@ object ContinuousCarver {
     // ---- pass 2: rank stats per (feature, modality), both rank bases
     val approxMedian = withYHists && distinctY > medianGateThreshold(config, specs.length)
     val (rows, ties, yHists) =
-      rankStatsJob(train, target, specs, prep, withYHists, approxMedian)
+      rankStatsJob(train, target, specs, prep, withYHists, approxMedian, distinctY)
     Stages(config, sketched, distinctY, trainHist, foldHists, prep, rows, ties, yHists)
   }
 
@@ -321,7 +321,11 @@ object ContinuousCarver {
       specs: Seq[FeatureSpec],
       prep: Map[String, Prep],
       withMedians: Boolean = false,
-      approxMedian: Boolean = false
+      approxMedian: Boolean = false,
+      // approx_count_distinct(y) from the sketch job; -1 = unknown. Chooses
+      // the rank STRATEGY only — both strategies produce identical ranks —
+      // so the ±2% HLL error is harmless.
+      approxDistinctY: Long = -1L
   ): (Map[String, Map[String, (Double, Double, Double, Double, Double)]],
       Map[String, (Double, Double)],
       Map[String, Map[String, Array[(Double, Double)]]]) = {
@@ -341,6 +345,72 @@ object ContinuousCarver {
         sum(col("c")).as("ca"),
         sum(when(col("lbl") =!= NanLabel, col("c")).otherwise(0L)).as("cs")
       )
+
+    // Size-adaptive rank table (guide §1.2): a LOW-cardinality y (integer
+    // scores, counts, grades — the common regression targets) has a tiny
+    // per-(feature, y) pool table, so the exclusive cumsums/ranks/ties
+    // compute exactly on the driver from ONE collect of `yh` — no
+    // approxQuantile pass, no bucket offsets, no window. Ranks are the
+    // identical cum + (c+1)/2 arithmetic either way; the distributed
+    // bucket-window path below remains for high-cardinality y (where the
+    // pool table is ~|rows| and must never be collected).
+    val localYh = approxDistinctY >= 0 &&
+      approxDistinctY * math.max(1, specs.length).toLong <= 200000L
+    if (localYh) {
+      val yhRows = yh.collect()
+      require(!yhRows.exists(_.isNullAt(1)),
+        s"[ContinuousCarver] y ('$target') should not contain NaN/null")
+      val rankRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+      val ties = yhRows.groupBy(_.getString(0)).map { case (fid, rows) =>
+        val sorted = rows.sortBy(_.getDouble(1))
+        var cuma = 0L; var cums = 0L
+        var ta = 0L; var na = 0L; var ts = 0L; var ns = 0L
+        sorted.foreach { r =>
+          val y = r.getDouble(1); val ca = r.getLong(2); val cs = r.getLong(3)
+          rankRows.add(org.apache.spark.sql.Row(fid, y,
+            cuma + (ca + 1) / 2.0, cums + (cs + 1) / 2.0))
+          cuma += ca; cums += cs
+          ta += ca * ca * ca - ca; na += ca
+          ts += cs * cs * cs - cs; ns += cs
+        }
+        val tca = if (na < 2) 1.0 else 1.0 - ta.toDouble / (na.toDouble * na * na - na)
+        val tcs = if (ns < 2) 1.0 else 1.0 - ts.toDouble / (ns.toDouble * ns * ns - ns)
+        fid -> (tca, tcs)
+      }
+      val rankedLocal = df.sparkSession.createDataFrame(rankRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("fid", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rank_all", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("rank_sub", org.apache.spark.sql.types.DoubleType))))
+      val stats = ylh.join(broadcast(rankedLocal), Seq("fid", "y"))
+        .groupBy(col("fid"), col("lbl"))
+        .agg(
+          sum(col("c")).as("n"),
+          sum(col("rank_all") * col("c")).as("ra"),
+          sum(col("rank_sub") * col("c")).as("rs"),
+          sum(col("y") * col("c")).as("sy"),
+          sum(col("y") * col("y") * col("c")).as("syy")
+        )
+        .collect()
+      val yHists: Map[String, Map[String, Array[(Double, Double)]]] =
+        if (!withMedians) Map.empty
+        else if (approxMedian) yHistsOf(long, approx = true)
+        else {
+          val h = ylh.collect()
+          h.groupBy(_.getString(0)).view.mapValues { rows =>
+            rows.groupBy(_.getString(1)).view.mapValues(
+              _.map(r => (r.getDouble(2), r.getLong(3).toDouble)).toArray).toMap
+          }.toMap
+        }
+      ylh.unpersist()
+      val byFid = mutable.Map.empty[String, mutable.Map[String, (Double, Double, Double, Double, Double)]]
+      stats.foreach { r =>
+        byFid.getOrElseUpdate(r.getString(0), mutable.Map.empty)(r.getString(1)) =
+          ((r.getLong(2).toDouble, r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      }
+      return (byFid.view.mapValues(_.toMap).toMap, ties, yHists)
+    }
 
     // Exclusive cumulative counts over y-order within each feature, WITHOUT
     // a per-feature single-task window (a web-scale continuous target has
