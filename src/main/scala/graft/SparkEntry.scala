@@ -930,8 +930,20 @@ object SparkEntry {
     * handful of entries per sf dir.
     */
   private val modelCache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-  private def cachedModel[T <: AnyRef](key: String)(f: => T): T =
-    modelCache.computeIfAbsent(key, _ => f).asInstanceOf[T]
+  // get/putIfAbsent rather than computeIfAbsent: the memoized builders NEST
+  // (continuousModel -> contStages, ovrDocs -> mcHist), and a recursive
+  // computeIfAbsent on the same map is documented undefined behaviour
+  // (same-bin livelock / IllegalStateException). A lost race merely
+  // computes the (deterministic) value twice.
+  private def cachedModel[T <: AnyRef](key: String)(f: => T): T = {
+    val hit = modelCache.get(key)
+    if (hit != null) hit.asInstanceOf[T]
+    else {
+      val v = f
+      val prev = modelCache.putIfAbsent(key, v)
+      (if (prev != null) prev else v).asInstanceOf[T]
+    }
+  }
 
   private def carveDocs(s: SparkSession, dir: String): graft.carve.BinaryCarver.Model =
     cachedModel(s"carveDocs:$dir") {
