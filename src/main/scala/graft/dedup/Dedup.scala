@@ -403,6 +403,10 @@ object Dedup {
       java.util.Arrays.sort(arr)
       arr
     }
+    // asNondeterministic (guide §4.4): callers filter on the jaccard
+    // column, and the optimizer's pushed-down copy of a deterministic UDF
+    // re-evaluates the merge per row (filter + projection = 2×). The
+    // function is pure; the marker only stops the optimizer duplicating it.
     val jac = udf { (a: Array[Long], b: Array[Long]) =>
       if (a.isEmpty && b.isEmpty) 1.0
       else {
@@ -415,7 +419,15 @@ object Dedup {
         }
         inter.toDouble / (a.length + b.length - inter).toDouble
       }
-    }
+    }.asNondeterministic()
+    // NOTE (r7, measured): a semi-join pre-filter of the shingled side on
+    // the candidate id set was tried and REVERTED — the shrunken size
+    // estimate made the planner broadcast the heavy shingle-array side
+    // (UDF evaluated single-threaded inside the broadcast build: 4× slower
+    // locally), and forcing a merge join instead shuffled+sorted the
+    // arrays (8× slower). The shape below keeps the arrays unshuffled: the
+    // planner broadcasts the (id-only) pair side when it fits and streams
+    // the shingle scan in parallel tasks.
     val sh = df.select(col(idCol).as("__id"), shingle(col(textCol)).as("__sh"))
     pairs
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
