@@ -87,9 +87,23 @@ object SparkEntry {
       val c = Tables.customer(s, dir)
       val o = Tables.orders(s, dir)
       val joined = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
-      val w = Window.partitionBy(col("c_mktsegment"))
-        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-      joined
+      // Two-phase top-k (guide §2.5): a single window partitioned by the
+      // ~5 market segments funnels the WHOLE table into 5 tasks at scale.
+      // Phase 1 takes the top 3 within (segment, physical partition) —
+      // thousands of distinct keys, no hot key; the global top 3 per
+      // segment is a subset of those survivors, so phase 2's window runs
+      // over ≤ 3×partitions×segments rows. (o_orderkey is unique, so the
+      // (price desc, orderkey asc) order is total and the result rows and
+      // ranks are identical to the single-window formulation.)
+      val order = Seq(col("o_totalprice").desc, col("o_orderkey").asc)
+      val wLocal = Window.partitionBy(col("c_mktsegment"), spark_partition_id())
+        .orderBy(order: _*)
+      val survivors = joined
+        .withColumn("__lr", row_number().over(wLocal))
+        .filter(col("__lr") <= 3)
+        .drop("__lr")
+      val w = Window.partitionBy(col("c_mktsegment")).orderBy(order: _*)
+      survivors
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"), cents("o_totalprice").as("price_c"))

@@ -24,7 +24,11 @@ class PlanAuditSpec extends SparkSuite {
       "q_dedup_minhash" -> 8, // band explode + capped buckets + pair agg
       "q_embed_neardup" -> 8, // sign-LSH banding + capped buckets + verify
       "q1_agg" -> 2, // one groupBy shuffle
-      "q3_topk" -> 4, // broadcast join + one window shuffle
+      // r7: broadcast join + TWO window shuffles — the two-phase top-k
+      // trades one extra narrow-column exchange (hash on (segment,
+      // partition-id), thousands of keys) for removing the 5-task
+      // hot-segment funnel of the single global window (guide §2.5)
+      "q3_topk" -> 6,
       "q_asof_join" -> 4, // union + one range/window shuffle
       "q_sessionize" -> 2, // one window shuffle for lag+session
       "q_dedup_exact" -> 2, // one digest groupBy
