@@ -204,18 +204,14 @@ object Selector {
       .select(col(target).cast("double").as("yv"),
         explode(map(quants.flatMap(n => Seq(lit(n), col(n).cast("double"))): _*)).as(Seq("fid", "v")))
       .filter(col("v").isNotNull && !isnan(col("v")) && col("yv").isNotNull)
+    // persisted: the grouped counts feed the two rank derivations AND the
+    // final join — unpersisted, each reference replays the melt+groupBy
+    // over the input (3 full scans)
     val g = melted.groupBy(col("fid"), col("v"), col("yv")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def avgRank(grouped: DataFrame, valueCol: String, out: String): DataFrame = {
-      val w = Window.partitionBy(col("fid")).orderBy(col(valueCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grouped
-        .withColumn("cum", sum(col("n")).over(w))
-        .select(col("fid"), col(valueCol),
-          (col("cum") - col("n") + (col("n") + 1) / 2.0).as(out))
-    }
-    val rx = avgRank(g.groupBy("fid", "v").agg(sum("cnt").as("n")), "v", "rx")
-    val ry = avgRank(g.groupBy("fid", "yv").agg(sum("cnt").as("n")), "yv", "ry")
+    val rx = bucketedAvgRank(g.groupBy("fid", "v").agg(sum("cnt").as("n")), "v", "rx")
+    val ry = bucketedAvgRank(g.groupBy("fid", "yv").agg(sum("cnt").as("n")), "yv", "ry")
 
     val joined = g.join(rx, Seq("fid", "v")).join(ry, Seq("fid", "yv"))
     val stats = joined.groupBy("fid").agg(
@@ -226,6 +222,7 @@ object Selector {
       sum(col("cnt") * col("ry") * col("ry")).as("syy"),
       sum(col("cnt") * col("rx") * col("ry")).as("sxy")
     ).collect()
+    g.unpersist()
     stats.map { r =>
       val (n, sx, sy, sxx, syy, sxy) =
         (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
@@ -248,15 +245,12 @@ object Selector {
       .select(col(target).cast("double").as("yv"),
         explode(map(quants.flatMap(n => Seq(lit(n), col(n).cast("double"))): _*)).as(Seq("fid", "v")))
       .filter(col("v").isNotNull && !isnan(col("v")) && col("yv").isNotNull)
+    // persisted: g feeds the rank derivation and the join (2 references)
     val g = melted.groupBy(col("fid"), col("v"), col("yv")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // average rank of each x value within fid (ties -> midrank)
-    val xTot = g.groupBy("fid", "v").agg(sum("cnt").as("n"))
-    val w = Window.partitionBy(col("fid")).orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val rx = xTot
-      .withColumn("cum", sum(col("n")).over(w))
-      .select(col("fid"), col("v"), (col("cum") - col("n") + (col("n") + 1) / 2.0).as("rx"),
-        col("n").as("tie"))
+    val rx = bucketedAvgRank(g.groupBy("fid", "v").agg(sum("cnt").as("n")), "v", "rx",
+      keepTie = true)
     val joined = g.join(rx, Seq("fid", "v"))
     val grpStats = joined.groupBy("fid", "yv").agg(
       sum(col("cnt")).cast("double").as("ng"),
@@ -268,6 +262,7 @@ object Selector {
       sum(col("rg") * col("rg") / col("ng")).as("ssbn"),
       count(lit(1)).as("k")
     ).join(tieStats, Seq("fid")).collect()
+    g.unpersist()
     rows.map { r =>
       val n = r.getDouble(1); val ssbn = r.getDouble(2); val k = r.getLong(3).toDouble
       val tsum = r.getDouble(4)
@@ -544,15 +539,12 @@ object Selector {
       .select(col(target).cast("double").as("yv"),
         explode(map(quals.flatMap(n => Seq(lit(n), col(n).cast("string"))): _*)).as(Seq("fid", "g")))
       .filter(col("g").isNotNull && col("yv").isNotNull)
+    // persisted: gr feeds the rank derivation and the join (2 references)
     val gr = melted.groupBy(col("fid"), col("g"), col("yv")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // average rank of each y value within fid (ties -> midrank)
-    val yTot = gr.groupBy("fid", "yv").agg(sum("cnt").as("n"))
-    val w = Window.partitionBy(col("fid")).orderBy(col("yv"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ry = yTot
-      .withColumn("cum", sum(col("n")).over(w))
-      .select(col("fid"), col("yv"), (col("cum") - col("n") + (col("n") + 1) / 2.0).as("ry"),
-        col("n").as("tie"))
+    val ry = bucketedAvgRank(gr.groupBy("fid", "yv").agg(sum("cnt").as("n")), "yv", "ry",
+      keepTie = true)
     val joined = gr.join(ry, Seq("fid", "yv"))
     val grpStats = joined.groupBy("fid", "g").agg(
       sum(col("cnt")).cast("double").as("ng"),
@@ -564,6 +556,7 @@ object Selector {
       sum(col("rg") * col("rg") / col("ng")).as("ssbn"),
       count(lit(1)).as("k")
     ).join(tieStats, Seq("fid")).collect()
+    gr.unpersist()
     rows.map { r =>
       val n = r.getDouble(1); val ssbn = r.getDouble(2); val k = r.getLong(3).toDouble
       val tsum = r.getDouble(4)
@@ -574,6 +567,44 @@ object Selector {
       val eta = if (n - k > 0) math.max(0.0, (h - k + 1.0) / (n - k)) else Double.NaN
       r.getString(0) -> KruskalRow(h, eps, eta)
     }.toMap
+  }
+
+  /** Average rank of each value within fid over grouped `(fid, value, n)`
+    * counts WITHOUT a per-feature single-task window: a window partitioned
+    * by `fid` alone puts a feature's ENTIRE grouped-count table in one
+    * task — for a high-cardinality quantitative (id-like) feature that is
+    * ~|rows| rows through one task at corpus scale. Instead, global
+    * approximate splits of the value range bucket the cumulative sum
+    * (exactness unaffected — buckets only partition it), small per-(fid,
+    * bucket) totals collect for driver-side exclusive offsets, and the
+    * window runs within (fid, bucket) — the same shape as the continuous
+    * carver's rank job and prebin/Quantiles.exactEdgesDF. Rank values are
+    * identical (exact integer-count arithmetic). NaN values route to the
+    * LAST bucket, matching their position in an ascending value sort.
+    */
+  private def bucketedAvgRank(grouped: DataFrame, valueCol: String, out: String,
+      keepTie: Boolean = false): DataFrame = {
+    val splits = grouped.stat.approxQuantile(valueCol, (1 until 32).map(_ / 32.0).toArray, 0.05)
+      .filterNot(_.isNaN).distinct.sorted
+    val bucketCol = graft.transform.BinarySearchBucketize.column(
+      col(valueCol), splits.toVector, splits.indices.toVector :+ splits.length,
+      nanBin = splits.length)
+    val gB = grouped.withColumn("bucket", bucketCol)
+    val per = gB.groupBy(col("fid"), col("bucket")).agg(sum(col("n")).as("bn")).collect()
+    val offs: Map[String, Long] = per.groupBy(_.getString(0)).toSeq.flatMap { case (fid, rows) =>
+      val sorted = rows.toSeq.sortBy(_.getInt(1))
+      sorted.scanLeft(0L)((acc, r) => acc + r.getLong(2)).init.zip(sorted)
+        .map { case (off, r) => s"$fid#${r.getInt(1)}" -> off }
+    }.toMap
+    val offsetExpr =
+      if (offs.isEmpty) lit(0L)
+      else coalesce(element_at(typedlit(offs), concat_ws("#", col("fid"), col("bucket"))), lit(0L))
+    val w = Window.partitionBy(col("fid"), col("bucket")).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    gB
+      .withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)) + offsetExpr)
+      .select(Seq(col("fid"), col(valueCol), (col("cum") + (col("n") + 1) / 2.0).as(out)) ++
+        (if (keepTie) Seq(col("n").as("tie")) else Nil): _*)
   }
 
   private def selectWith(
