@@ -47,9 +47,10 @@ object SparkEntry {
     * estimate filter, candidates → exact-Jaccard verify, candidates →
     * connected components) — the production dedup pipeline generates ONE
     * candidate set and feeds every downstream stage from it; re-shingling
-    * the corpus per stage would triple the dominant scan. The set is tiny
-    * (bounded by the LSH bucket caps), exact (`est_jaccard` = matches/64),
-    * and rebuilt from parquet on every process start.
+    * the corpus per stage would triple the dominant scan. The set is
+    * bounded by the LSH bucket caps (551k pairs ≈ 13 MB at sf0.1), exact
+    * (`est_jaccard` = matches/64), and rebuilt from parquet on every
+    * process start.
     */
   private def dupCandidates(s: SparkSession, dir: String): Array[(Long, Long, Double)] =
     cachedModel(s"minhashCands:$dir") {
