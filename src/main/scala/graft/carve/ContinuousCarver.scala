@@ -78,6 +78,19 @@ object ContinuousCarver {
     * 3 input scans total (sketch, histogram, rank aggregate) where the
     * previous shape paid 5-6 for a median fit.
     */
+  /** Stage timer (stderr, only under BENCH_DEBUG) — same pattern as
+    * PagePipeline's fixed-vs-parallel cost attribution.
+    */
+  private def timed[T](name: String)(f: => T): T = {
+    if (!sys.env.contains("BENCH_DEBUG")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(f"[cont-fit] $name%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+  }
+
   def computeStages(
       train: DataFrame,
       target: String,
@@ -100,12 +113,12 @@ object ContinuousCarver {
     // cv>1 folds ride the SAME scan (fold key as one more groupBy column).
     // The R4 distinct-y gate rides the SKETCH job as one extra aggregate —
     // previously its own full scan of (possibly expensive) y.
-    val (sketched, sketchRow) = BinaryCarver.sketchWithExtras(train, specs, config,
-      Seq(approx_count_distinct(col(target)).as("__graft_y_acd")))
+    val (sketched, sketchRow) = timed("sketch+acd")(BinaryCarver.sketchWithExtras(train, specs, config,
+      Seq(approx_count_distinct(col(target)).as("__graft_y_acd"))))
     val distinctY = sketchRow.map(_.getAs[Long]("__graft_y_acd")).getOrElse(-1L)
-    val (trainHist, foldHists) =
+    val (trainHist, foldHists) = timed("histogram")(
       if (config.cv > 1) BinaryCarver.histogramWithFolds(train, target, specs, config.cv, sketched, Option(config.foldCol))
-      else (BinaryCarver.histogram(train, target, specs, sketched), Nil)
+      else (BinaryCarver.histogram(train, target, specs, sketched), Nil))
     def totalOf(name: String): Long = trainHist(name).map(_.count).sum
     val prep: Map[String, Prep] = specs.map { s =>
       s.name -> (s.kind match {
@@ -124,8 +137,8 @@ object ContinuousCarver {
 
     // ---- pass 2: rank stats per (feature, modality), both rank bases
     val approxMedian = withYHists && distinctY > medianGateThreshold(config, specs.length)
-    val (rows, ties, yHists) =
-      rankStatsJob(train, target, specs, prep, withYHists, approxMedian, distinctY)
+    val (rows, ties, yHists) = timed("rank-stats")(
+      rankStatsJob(train, target, specs, prep, withYHists, approxMedian, distinctY))
     Stages(config, sketched, distinctY, trainHist, foldHists, prep, rows, ties, yHists)
   }
 
