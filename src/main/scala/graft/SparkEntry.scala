@@ -1067,18 +1067,24 @@ object SparkEntry {
       (h, f)
     }
 
+  // one DP-candidate memo across the ridit/level fits: the C−D DP reads
+  // only the shared K-histogram, so the second fit's quantitative search is
+  // driver-trivial (content-keyed — a modality-order difference recomputes)
+  private def ordDpMemo(s: SparkSession, dir: String): graft.carve.Dp.CandMemo =
+    cachedModel(s"ordDpMemo:$dir") { new graft.carve.Dp.CandMemo }
+
   private def ordinalModel(s: SparkSession, dir: String): graft.carve.OrdinalCarver.Model =
     cachedModel(s"ordModel:$dir") {
       val (h, f) = ordHist(s, dir)
       graft.carve.OrdinalCarver.fitFromHistograms(h, None, "y", ordSpecs,
-        graft.carve.OrdinalCarver.Config(), f)
+        graft.carve.OrdinalCarver.Config(), f, ordDpMemo(s, dir))
     }
 
   private def ordinalLevelModel(s: SparkSession, dir: String): graft.carve.OrdinalCarver.Model =
     cachedModel(s"ordLevelModel:$dir") {
       val (h, f) = ordHist(s, dir)
       graft.carve.OrdinalCarver.fitFromHistograms(h, None, "y", ordSpecs,
-        graft.carve.OrdinalCarver.Config(targetScale = "level"), f)
+        graft.carve.OrdinalCarver.Config(targetScale = "level"), f, ordDpMemo(s, dir))
     }
 
   // ---- selector memo: q_select / q_select_sf01 run the identical

@@ -141,14 +141,20 @@ object Continuous {
         r * r / nn
       }
     }
-    val entries = Dp.topKPartitions(nMod, cap, segCost, topK, maximize = true,
+    val rows = Dp.topKNodes(nMod, cap, segCost, topK, maximize = true,
       skipCost = Some(Double.NegativeInfinity))
     val coef = 12.0 / (nObs * (nObs + 1))
     val offset = 3.0 * (nObs + 1)
-    entries.map { case (_, ssbn, splits) =>
-      ((coef * ssbn - offset) / tieCorr, splits)
-    }.sortBy(-_._1).take(topK).map { case (h, splits) =>
-      (Dp.splitsToCombination(splits, rawIndex), h)
+    // same (k asc, row order) emission the former topKPartitions flattened;
+    // splits materialize only for the post-sort top-K survivors
+    val entries = Vector.newBuilder[(Double, Dp.Node)]
+    var k = 2
+    while (k <= cap) {
+      rows(k).foreach(e => entries += (((coef * e.cost - offset) / tieCorr, e)))
+      k += 1
+    }
+    entries.result().sortBy(-_._1).take(topK).map { case (h, e) =>
+      (Dp.splitsToCombination(e.splits, rawIndex), h)
     }
   }
 
@@ -207,8 +213,17 @@ object Continuous {
       escalate: Boolean = false,
       folds: Seq[RankXagg] = Nil,
       histSink: mutable.Buffer[Search.HistoryEntry] = null,
-      rescueMode: Boolean = false
+      rescueMode: Boolean = false,
+      // optional cross-strategy candidate memo (Dp.CandMemo): the DP inputs
+      // are rank aggregates, independent of the rate strategy
+      dpMemo: Dp.CandMemo = null
   ): Option[(Vector[Vector[String]], Double, Vector[Search.RateRow])] = {
+    def kCands(r: Array[Double], n: Array[Double], nObs: Double, tieCorr: Double,
+        labels: Vector[String], topK: Int): Vector[(Vector[Vector[String]], Double)] =
+      if (dpMemo == null) kruskalTopKPartitions(r, n, nObs, tieCorr, maxNMod, labels, topK)
+      else dpMemo.getOrElseUpdate(
+        ("kruskal", r.toSeq, n.toSeq, nObs, tieCorr, maxNMod, labels, topK),
+        kruskalTopKPartitions(r, n, nObs, tieCorr, maxNMod, labels, topK))
 
     def viabilityFlags(t: RankXagg, d: Option[RankXagg], f: Seq[RankXagg]): Search.Viability = {
       val tr = t.rates
@@ -267,7 +282,7 @@ object Continuous {
         var found: Option[(Vector[Vector[String]], Double)] = None
         var done = false
         while (!done) {
-          val cands = kruskalTopKPartitions(r, n, trainNoNan.nObs, trainNoNan.tieCorr, maxNMod, rawLabels0, topK)
+          val cands = kCands(r, n, trainNoNan.nObs, trainNoNan.tieCorr, rawLabels0, topK)
           var i = walked
           while (i < cands.length && found.isEmpty) {
             val (combo, h) = cands(i)
@@ -308,7 +323,7 @@ object Continuous {
     var winner: Option[(Vector[Vector[String]], Double)] = None
     var done = false
     while (!done) {
-      val base = kruskalTopKPartitions(br, bn, mergedTrain.nObs, mergedTrain.tieCorr, maxNMod, mergedLabels, topK)
+      val base = kCands(br, bn, mergedTrain.nObs, mergedTrain.tieCorr, mergedLabels, topK)
       val scored = Dp.nanFanoutVariants(base.map(_._1), nanLabel, mergedLabels, maxNMod)
         .map { v => (v, hForCombination(fr, fn, mergedTrain.nObs, mergedTrain.tieCorr, modToPos, v)) }
         .toVector

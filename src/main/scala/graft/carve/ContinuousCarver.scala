@@ -38,7 +38,12 @@ object ContinuousCarver {
       // per feature: label -> (n, Σrank_all, Σrank_sub, Σy, Σy²)
       rows: Map[String, Map[String, (Double, Double, Double, Double, Double)]],
       ties: Map[String, (Double, Double)],
-      yHists: Map[String, Map[String, Array[(Double, Double)]]]
+      yHists: Map[String, Map[String, Array[(Double, Double)]]],
+      // cross-strategy DP candidate memo: the top-K kruskal DP reads only
+      // rank aggregates, so mean/median fits over the same stages share
+      // byte-identical candidate lists (content-keyed — any input
+      // difference recomputes)
+      dpMemo: Dp.CandMemo = new Dp.CandMemo
   )
 
   /** Stage-compatibility view of a config: every field except the rate
@@ -175,7 +180,7 @@ object ContinuousCarver {
     val yHists: Map[String, Map[String, Array[(Double, Double)]]] =
       if (!withMedians) Map.empty
       else if (stages.yHists.nonEmpty) stages.yHists
-      else yHistsOf(longForm(train, target, specs, prep), approxMedian)
+      else timed("median-yhist")(yHistsOf(longForm(train, target, specs, prep), approxMedian))
     def rankStats(name: String): (Continuous.RankXagg, Continuous.RankXagg, Map[String, (Double, Double, Double)]) = {
       val p = prep(name)
       val rows = stages.rows.getOrElse(name, Map.empty)
@@ -239,7 +244,7 @@ object ContinuousCarver {
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val fitted = Await.result(Future.traverse(specs.toVector) { spec =>
+    val fitted = timed("search")(Await.result(Future.traverse(specs.toVector) { spec =>
       Future {
         val p = prep(spec.name)
         val (sub, full, moments) = rankStats(spec.name)
@@ -256,9 +261,10 @@ object ContinuousCarver {
         val devX = devHist.map(view(_, devYHists))
         val foldXs = foldHists.zip(foldYHists).map { case (h, yh) => view(h, yh) }
           .filter(_.labels.nonEmpty)
-        searchContinuous(spec, p, sub, full, devX.filter(_.labels.nonEmpty), config, foldXs, moments)
+        searchContinuous(spec, p, sub, full, devX.filter(_.labels.nonEmpty), config, foldXs, moments,
+          stages.dpMemo)
       }
-    }, Duration.Inf)
+    }, Duration.Inf))
 
     Model(target, config.minFreq, config.maxNMod, "kruskal", fitted)
   }
@@ -585,14 +591,15 @@ object ContinuousCarver {
       config: Config,
       folds: Seq[Continuous.RankXagg] = Nil,
       // per-label (n, Σy, Σy²) for the per-bin sample std (M4 drift tests)
-      moments: Map[String, (Double, Double, Double)] = Map.empty
+      moments: Map[String, (Double, Double, Double)] = Map.empty,
+      dpMemo: Dp.CandMemo = null
   ): FittedFeature = {
     val histBuf =
       if (config.history) scala.collection.mutable.ArrayBuffer.empty[Search.HistoryEntry] else null
     def run(minFreq: Option[Double]) = Continuous.bestCombination(
       sub, full, devX, config.maxNMod, minFreq, config.minFreqAlpha,
       p.hasNan, NanLabel, config.topKInitial, config.escalate, folds,
-      histSink = histBuf, rescueMode = minFreq.isEmpty)
+      histSink = histBuf, rescueMode = minFreq.isEmpty, dpMemo = dpMemo)
     val normal = run(Some(config.minFreq))
     // rescue-rare (C13): min_freq waived when a validation view exists
     val best =

@@ -39,30 +39,149 @@ object Dp {
       maximize: Boolean = true,
       skipCost: Option[Double] = None
   ): Vector[(Int, Double, Vector[Int])] = {
-    final case class Entry(cost: Double, splits: Vector[Int])
+    val rows = topKNodes(nMod, cap, segCost, topK, maximize, skipCost)
+    val out = Vector.newBuilder[(Int, Double, Vector[Int])]
+    var k = 2
+    while (k <= cap) {
+      rows(k).foreach(e => out += ((k, e.cost, e.splits)))
+      k += 1
+    }
+    out.result()
+  }
+
+  /** A DP cell candidate: the partition cost plus the parent-chain encoding
+    * of its split points. Splits materialize lazily — the former
+    * `splits :+ jj` per heap push copied a Vector per candidate EXTENSION
+    * (O(nMod·topK) per cell) where only the candidates a caller actually
+    * keeps (post-sort, post-`take(topK)`) ever need their splits.
+    */
+  final class Node private[Dp] (val cost: Double, private val parent: Node, private val j: Int) {
+    /** (0, s1, ..., nMod) — identical to the former materialized vector. */
+    def splits: Vector[Int] = {
+      var acc: List[Int] = Nil
+      var cur = this
+      while (cur != null) { acc = cur.j :: acc; cur = cur.parent }
+      (0 :: acc).toVector
+    }
+    /** Visit each (start, end) segment in ASCENDING split order — the same
+      * order a loop over the materialized splits vector visits them (float
+      * accumulations over segments must sum in the identical order) —
+      * without building the vector. The chain is walked into a small
+      * scratch array first (length ≤ groups + 1). */
+    def foreachSegment(f: (Int, Int) => Unit): Unit = {
+      var n = 0
+      var cur = this
+      while (cur != null) { n += 1; cur = cur.parent }
+      val ends = new Array[Int](n)
+      cur = this
+      var i = n - 1
+      while (cur != null) { ends(i) = cur.j; i -= 1; cur = cur.parent }
+      var start = 0
+      i = 0
+      while (i < n) { f(start, ends(i)); start = ends(i); i += 1 }
+    }
+  }
+
+  /** Layout-exact clone of scala.collection.mutable.PriorityQueue (1-based
+    * array; enqueue = append+fixUp; dequeue = move-last-to-root+fixDown;
+    * fixUp swaps while parent LT child, fixDown picks the GT child and
+    * stops on parent GTEQ child) over parallel primitive keys. `key` must
+    * be the value the former Ordering compared (−cost for maximize, cost
+    * for minimize): Double.compare on it reproduces Ordering.by(±_.cost)
+    * exactly, ±0.0 and NaN included. Capacity grows by doubling — growth
+    * never affects the swap sequence.
+    */
+  private final class CostHeap(topK: Int) {
+    private[this] var keys = new Array[Double](math.min(topK, 1024) + 2)
+    private[this] var refs = new Array[Node](keys.length)
+    private[this] var size0 = 1
+    def size: Int = size0 - 1
+    def headCost: Double = refs(1).cost
+    def enqueue(key: Double, ref: Node): Unit = {
+      if (size0 >= keys.length) {
+        keys = java.util.Arrays.copyOf(keys, keys.length * 2)
+        refs = java.util.Arrays.copyOf(refs, refs.length * 2)
+      }
+      keys(size0) = key
+      refs(size0) = ref
+      var m = size0
+      while (m > 1 && java.lang.Double.compare(keys(m / 2), keys(m)) < 0) {
+        val h = m / 2
+        val k = keys(m); keys(m) = keys(h); keys(h) = k
+        val r = refs(m); refs(m) = refs(h); refs(h) = r
+        m = h
+      }
+      size0 += 1
+    }
+    def dequeue(): Node = {
+      size0 -= 1
+      val result = refs(1)
+      keys(1) = keys(size0)
+      refs(1) = refs(size0)
+      refs(size0) = null
+      val n = size0 - 1
+      var k = 1
+      var done = false
+      while (!done && n >= 2 * k) {
+        var j = 2 * k
+        if (j < n && java.lang.Double.compare(keys(j), keys(j + 1)) < 0) j += 1
+        if (java.lang.Double.compare(keys(k), keys(j)) >= 0) done = true
+        else {
+          val kk = keys(k); keys(k) = keys(j); keys(j) = kk
+          val rr = refs(k); refs(k) = refs(j); refs(j) = rr
+          k = j
+        }
+      }
+      result
+    }
+    /** dequeueAll (worst-first) reversed: the former
+      * `heap.dequeueAll.toArray.reverse`. */
+    def drainBestFirst(): Array[Node] = {
+      val out = new Array[Node](size)
+      var i = out.length - 1
+      while (i >= 0) { out(i) = dequeue(); i -= 1 }
+      out
+    }
+  }
+
+  /** The top-K interval DP core: `rows(g)` (g = 2..cap; lower indices
+    * empty) holds the top-`topK` g-group partitions of [0, nMod), ordered
+    * metric-best first — exactly the per-k lists [[topKPartitions]]
+    * concatenates, with splits still in parent-chain form so callers that
+    * sort/truncate before reading splits skip the materialization.
+    */
+  def topKNodes(
+      nMod: Int,
+      cap: Int,
+      segCost: (Int, Int) => Double,
+      topK: Int,
+      maximize: Boolean = true,
+      skipCost: Option[Double] = None
+  ): Array[Array[Node]] = {
     // dp rows: rows(g)(j) = top-K g-group partitions of [0, j), kept SORTED
     // (metric-best first). The sortedness lets the next row prune: extensions
     // of worse prefixes than the current K-th candidate can stop early.
-    var prev: Array[Array[Entry]] = Array.fill(nMod + 1)(Array.empty)
+    var prev: Array[Array[Node]] = Array.fill(nMod + 1)(Array.empty)
     var j = 1
     while (j <= nMod) {
       val c = segCost(0, j)
-      if (!skipCost.contains(c)) prev(j) = Array(Entry(c, Vector(0, j)))
+      if (!skipCost.contains(c)) prev(j) = Array(new Node(c, null, j))
       j += 1
     }
-    val out = Vector.newBuilder[(Int, Double, Vector[Int])]
-    // bounded selection: a size-<=topK heap whose head is the WORST kept entry
-    // (PriorityQueue dequeues the max of its ordering)
-    val worstFirst: Ordering[Entry] =
-      if (maximize) Ordering.by[Entry, Double](-_.cost) else Ordering.by[Entry, Double](_.cost)
-
+    val res: Array[Array[Node]] = Array.fill(cap + 1)(Array.empty)
+    // bounded selection: a size-<=topK heap whose head is the WORST kept
+    // entry. [[CostHeap]] clones scala's PriorityQueue layout under the
+    // former `Ordering.by(±_.cost)` — same comparison results, same swap
+    // sequence, therefore the same kept SET and the same dequeue order
+    // under cost ties — minus the per-sift Ordering dispatch and Double
+    // boxing that dominated the DP at prebin granularity (nMod ~ 100 →
+    // ~1.6M heap pushes per call).
     var g = 2
-    var rowsByK = Map(1 -> prev)
     while (g <= cap) {
-      val row: Array[Array[Entry]] = Array.fill(nMod + 1)(Array.empty)
+      val row: Array[Array[Node]] = Array.fill(nMod + 1)(Array.empty)
       var jj = g
       while (jj <= nMod) {
-        val heap = mutable.PriorityQueue.empty[Entry](worstFirst)
+        val heap = new CostHeap(topK)
         var i = g - 1
         while (i < jj) {
           val c = segCost(i, jj)
@@ -73,10 +192,10 @@ object Dp {
             while (p < prevEntries.length && !stop) {
               val total = prevEntries(p).cost + c
               if (heap.size < topK) {
-                heap.enqueue(Entry(total, prevEntries(p).splits :+ jj))
-              } else if ((maximize && total > heap.head.cost) || (!maximize && total < heap.head.cost)) {
+                heap.enqueue(if (maximize) -total else total, new Node(total, prevEntries(p), jj))
+              } else if ((maximize && total > heap.headCost) || (!maximize && total < heap.headCost)) {
                 heap.dequeue()
-                heap.enqueue(Entry(total, prevEntries(p).splits :+ jj))
+                heap.enqueue(if (maximize) -total else total, new Node(total, prevEntries(p), jj))
               } else {
                 // prev entries are sorted best-first: all remaining are worse
                 stop = true
@@ -86,24 +205,34 @@ object Dp {
           }
           i += 1
         }
-        if (heap.nonEmpty) row(jj) = heap.dequeueAll.toArray.reverse // best-first
+        if (heap.size > 0) row(jj) = heap.drainBestFirst() // best-first
         jj += 1
       }
-      rowsByK = rowsByK + (g -> row)
+      res(g) = row(nMod)
       prev = row
       g += 1
     }
-    var k = 2
-    while (k <= cap) {
-      rowsByK(k)(nMod).foreach(e => out += ((k, e.cost, e.splits)))
-      k += 1
-    }
-    out.result()
+    res
   }
 
   /** Splits → raw-label groups (`dp.py:splits_to_combination`). */
   def splitsToCombination(splits: Vector[Int], rawIndex: Vector[String]): Vector[Vector[String]] =
     (0 until splits.length - 1).map(g => rawIndex.slice(splits(g), splits(g + 1))).toVector
+
+  /** Content-keyed memo for top-K candidate lists. The DP consumes only the
+    * crosstab/rank aggregates — never the rate strategy — so fits that
+    * differ ONLY in the rate (continuous target_mean vs target_median,
+    * ordinal ridit vs level) re-run byte-identical DPs; keying the
+    * candidate vector by the full DP input makes the second strategy's
+    * search driver-trivial. A miss on ANY input difference (labels, counts,
+    * topK escalation level, phase-2 merged bins) recomputes — no
+    * approximation. Thread-safe (feature searches run in parallel futures).
+    */
+  final class CandMemo {
+    private val m = new scala.collection.concurrent.TrieMap[Any, AnyRef]
+    def getOrElseUpdate[T <: AnyRef](key: Any, compute: => T): T =
+      m.getOrElseUpdate(key, compute).asInstanceOf[T]
+  }
 
   /** Binary chi² top-K DP (`binary_combination_evaluators.py:376-485`):
     * per-k interval DP over the closed-form chi² cell contributions with
@@ -131,8 +260,9 @@ object Dp {
     val n1Total = n1Prefix.last
     val nObs = n0Total + n1Total
 
-    // (sortKey, cramerv_q, tt_q, splits)
-    val all = mutable.ArrayBuffer.empty[(Double, Double, Double, Vector[Int])]
+    // (sortKey, cramerv_q, tt_q, node) — splits materialize only for the
+    // candidates surviving the global sort + take(topK) below
+    val all = mutable.ArrayBuffer.empty[(Double, Double, Double, Node)]
     var kGroups = 2
     while (kGroups <= cap) {
       val c0 = n0Total + kGroups * tol
@@ -153,21 +283,24 @@ object Dp {
         }
         (obs0 - e0) * (obs0 - e0) / e0 + (obs1 - e1) * (obs1 - e1) / e1
       }
-      val entries = topKPartitions(nMod, kGroups, segCost, topK, maximize = true)
+      // the per-kGroups segCost (tol marginals + Yates iff k==2) makes each
+      // k its own DP; only the k == kGroups row is consumed, so ask the DP
+      // core for its rows and read just the last — the former
+      // topKPartitions call materialized (and discarded) every k < kGroups
+      // row's splits on each pass
+      val entries = topKNodes(nMod, kGroups, segCost, topK, maximize = true)(kGroups)
       val denom = math.pow(kGroups - 1.0, 0.25)
-      entries.foreach { case (k, chi2, splits) =>
-        if (k == kGroups) {
-          val cramervQ = Stats.quantize(math.sqrt(chi2 / nObs), tol)
-          val ttQ = Stats.quantize(cramervQ / denom, tol)
-          val sortKey = if (sortBy == "tschuprowt") ttQ else cramervQ
-          all += ((sortKey, cramervQ, ttQ, splits))
-        }
+      entries.foreach { e =>
+        val cramervQ = Stats.quantize(math.sqrt(e.cost / nObs), tol)
+        val ttQ = Stats.quantize(cramervQ / denom, tol)
+        val sortKey = if (sortBy == "tschuprowt") ttQ else cramervQ
+        all += ((sortKey, cramervQ, ttQ, e))
       }
       kGroups += 1
     }
     val top = all.sortBy(-_._1).take(topK)
-    top.iterator.map { case (_, cv, tt, splits) =>
-      Candidate(splitsToCombination(splits, rawIndex), cv, tt)
+    top.iterator.map { case (_, cv, tt, e) =>
+      Candidate(splitsToCombination(e.splits, rawIndex), cv, tt)
     }.toVector
   }
 

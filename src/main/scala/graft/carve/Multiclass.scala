@@ -75,7 +75,7 @@ object Multiclass {
       i += 1
     }
 
-    val all = mutable.ArrayBuffer.empty[(Double, Double, Double, Vector[Int])]
+    val all = mutable.ArrayBuffer.empty[(Double, Double, Double, Dp.Node)]
     var kGroups = 2
     while (kGroups <= cap) {
       val cMarg = colSums.map(_ + kGroups * tol)
@@ -99,18 +99,18 @@ object Multiclass {
         }
         acc
       }
-      val entries = Dp.topKPartitions(nKept, kGroups, segCost, topK, maximize = true)
-      entries.foreach { case (k, chi2, splits) =>
-        if (k == kGroups) {
-          val (cv, tt) = Stats.cramervTschuprowt(chi2, totalN, kGroups, nClasses, tol)
-          val sortVal = if (sortBy == "tschuprowt") tt else cv
-          all += (((if (sortVal.isNaN) Double.NegativeInfinity else sortVal), cv, tt, splits))
-        }
+      // only the k == kGroups row is consumed (per-k segCost); splits
+      // materialize only for the post-sort top-K survivors
+      val entries = Dp.topKNodes(nKept, kGroups, segCost, topK, maximize = true)(kGroups)
+      entries.foreach { e =>
+        val (cv, tt) = Stats.cramervTschuprowt(e.cost, totalN, kGroups, nClasses, tol)
+        val sortVal = if (sortBy == "tschuprowt") tt else cv
+        all += (((if (sortVal.isNaN) Double.NegativeInfinity else sortVal), cv, tt, e))
       }
       kGroups += 1
     }
-    all.sortBy(-_._1).take(topK).iterator.map { case (_, cv, tt, splits) =>
-      MCand(Ordinal.splitsToCombinationKeep(splits, rawIndex, keep), cv, tt)
+    all.sortBy(-_._1).take(topK).iterator.map { case (_, cv, tt, e) =>
+      MCand(Ordinal.splitsToCombinationKeep(e.splits, rawIndex, keep), cv, tt)
     }.toVector
   }
 

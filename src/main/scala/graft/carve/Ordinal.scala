@@ -303,28 +303,34 @@ object Ordinal {
     val seg = segmentWithinCosts(keptM)
     val nPrefix = keptN.scanLeft(0.0)(_ + _)
 
-    val dpEntries = Dp.topKPartitions(nKept, cap, (i, j) => seg(i)(j), topK, maximize = false)
+    val dpRows = Dp.topKNodes(nKept, cap, (i, j) => seg(i)(j), topK, maximize = false)
 
-    val entries = dpEntries.map { case (_, sumSeg, splits) =>
-      val cd = totalBetween - sumSeg
-      var tiedFeature = 0.0
-      var nonEmpty = 0
-      var g = 0
-      while (g < splits.length - 1) {
-        val size = nPrefix(splits(g + 1)) - nPrefix(splits(g))
-        tiedFeature += size * (size - 1) / 2.0
-        if (size > 0) nonEmpty += 1
-        g += 1
+    // same (k asc, row order) emission the former topKPartitions flattened;
+    // the per-candidate tie sums walk the parent chain (order-independent
+    // segment sums), so splits only materialize for the post-sort top-K
+    val entries = Vector.newBuilder[(OMetrics, Dp.Node)]
+    var kk = 2
+    while (kk <= cap) {
+      dpRows(kk).foreach { e =>
+        val cd = totalBetween - e.cost
+        var tiedFeature = 0.0
+        var nonEmpty = 0
+        e.foreachSegment { (start, end) =>
+          val size = nPrefix(end) - nPrefix(start)
+          tiedFeature += size * (size - 1) / 2.0
+          if (size > 0) nonEmpty += 1
+        }
+        val m = math.min(nonEmpty, cNonempty)
+        val metrics = tausFromCounts(cd, totalN, allPairs - tiedFeature, untiedTarget, m)
+        entries += ((metrics, e))
       }
-      val m = math.min(nonEmpty, cNonempty)
-      val metrics = tausFromCounts(cd, totalN, allPairs - tiedFeature, untiedTarget, m)
-      (metrics, splits)
+      kk += 1
     }
 
     def key(m: OMetrics): Double = { val v = m.metric(sortBy); if (v.isNaN) Double.NegativeInfinity else v }
-    entries.sortBy { case (m, _) => -key(m) } // stable: ties keep DP emission order
+    entries.result().sortBy { case (m, _) => -key(m) } // stable: ties keep DP emission order
       .take(topK)
-      .map { case (m, splits) => OCand(splitsToCombinationKeep(splits, rawIndex, keep), m) }
+      .map { case (m, e) => OCand(splitsToCombinationKeep(e.splits, rawIndex, keep), m) }
   }
 
   // ------------------------------------------ enumerate fallbacks (NaN)
@@ -436,7 +442,12 @@ object Ordinal {
       escalate: Boolean = true,
       folds: Seq[KXagg] = Nil,
       histSink: mutable.Buffer[Search.HistoryEntry] = null,
-      rescueMode: Boolean = false
+      rescueMode: Boolean = false,
+      // optional cross-config candidate memo (Dp.CandMemo): the C−D DP reads
+      // only the K-crosstab, never the target scale (ridit vs level), so
+      // fits differing only in the rate share byte-identical DP output for
+      // features whose modality order is scale-independent (quantitative)
+      dpMemo: Dp.CandMemo = null
   ): Option[OBest] = {
     def historize(combo: Vector[Vector[String]], value: Double, v: Search.Viability, withNan: Boolean): Unit = {
       if (histSink == null) return
@@ -470,7 +481,11 @@ object Ordinal {
         var found: Option[OCand] = None
         var done = false
         while (!done) {
-          val cands = topKPartitionsOrdinalDp(mm, nPerMod, colSums, maxNMod, rawLabels0, sortBy, topK)
+          val cands =
+            if (dpMemo == null) topKPartitionsOrdinalDp(mm, nPerMod, colSums, maxNMod, rawLabels0, sortBy, topK)
+            else dpMemo.getOrElseUpdate(
+              ("ordinal", mm.map(_.toSeq).toSeq, nPerMod.toSeq, colSums.toSeq, maxNMod, rawLabels0, sortBy, topK),
+              topKPartitionsOrdinalDp(mm, nPerMod, colSums, maxNMod, rawLabels0, sortBy, topK))
           var i = walked
           while (i < cands.length && found.isEmpty) {
             val c = cands(i)

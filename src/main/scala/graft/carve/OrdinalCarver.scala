@@ -196,7 +196,12 @@ object OrdinalCarver {
       target: String,
       specs: Seq[FeatureSpec],
       config: Config = Config(),
-      foldHists: Seq[Map[String, Array[KHistRow]]] = Nil
+      foldHists: Seq[Map[String, Array[KHistRow]]] = Nil,
+      // optional cross-config DP candidate memo: fits sharing a histogram
+      // but differing in targetScale (ridit vs level) re-run byte-identical
+      // C−D DPs for scale-independent modality orders (quantitative specs);
+      // pass one Dp.CandMemo across those fits to share the candidates
+      dpMemo: Dp.CandMemo = null
   ): Model = {
     require(specs.nonEmpty, "no features to carve")
     // reference OrdinalCarver._prepare_samples: >2 integer-encoded levels
@@ -262,7 +267,7 @@ object OrdinalCarver {
           val devX = devHist.map(h => devKXaggOf(spec, p, h.getOrElse(spec.name, Array.empty), levels))
           val foldXs = foldHists.map(h => devKXaggOf(spec, p, h.getOrElse(spec.name, Array.empty), levels))
             .filter(_.labels.nonEmpty)
-          searchFeatureK(spec, p, devX.filter(_.labels.nonEmpty), rate0, config, foldXs)
+          searchFeatureK(spec, p, devX.filter(_.labels.nonEmpty), rate0, config, foldXs, dpMemo)
         }
       },
       Duration.Inf
@@ -518,14 +523,15 @@ object OrdinalCarver {
 
   private[carve] def searchFeatureK(
       spec: FeatureSpec, p: KPrep, devX: Option[Ordinal.KXagg],
-      rate0: Ordinal.ORate, config: Config, folds: Seq[Ordinal.KXagg] = Nil
+      rate0: Ordinal.ORate, config: Config, folds: Seq[Ordinal.KXagg] = Nil,
+      dpMemo: Dp.CandMemo = null
   ): OFitted = {
     val histBuf =
       if (config.history) scala.collection.mutable.ArrayBuffer.empty[Search.HistoryEntry] else null
     def run(minFreq: Option[Double]) = Ordinal.bestCombination(
       p.xagg, devX, rate0, config.maxNMod, minFreq, config.minFreqAlpha,
       config.sortBy, p.hasNan, NanLabel, dropna = true, config.topKInitial, config.escalate, folds,
-      histSink = histBuf, rescueMode = minFreq.isEmpty)
+      histSink = histBuf, rescueMode = minFreq.isEmpty, dpMemo = dpMemo)
     val normal = run(Some(config.minFreq))
     val best =
       if (normal.isEmpty && config.rescue && (devX.nonEmpty || folds.nonEmpty)) run(None)
