@@ -428,16 +428,7 @@ object Dedup {
     // arrays (8× slower). The shape below keeps the arrays unshuffled: the
     // planner broadcasts the (id-only) pair side when it fits and streams
     // the shingle scan in parallel tasks.
-    //
-    // Persisted because BOTH joins consume `sh` and the planner does not
-    // reuse the two exchange subtrees (different output aliases defeat
-    // canonical matching): without the persist the corpus is scanned AND
-    // shingled twice per call (measured ~3.4 s → ~2.5 s at sf0.1). Same
-    // executor-local MEMORY_AND_DISK pattern as the signature persist in
-    // [[minhashCandidatePairs]]; at corpus scale prefer the durable
-    // signature-checkpoint shape if re-use across runs is needed.
     val sh = df.select(col(idCol).as("__id"), shingle(col(textCol)).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), Seq("id_b"))
