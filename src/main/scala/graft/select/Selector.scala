@@ -481,13 +481,19 @@ object Selector {
       task: String,
       config: Config = Config()
   ): Selection = task match {
+    // the two ranking passes per preset are data-independent — submitted
+    // concurrently (guide §2.6: actions are only sequential because the
+    // driver calls them sequentially; the later pass's tasks back-fill
+    // executor cores the first pass's tail leaves idle). Same results —
+    // only the submission overlaps.
     case "classification" =>
       // the qualitative histogram serves BOTH the Tschuprow T override and
       // the gate metrics; the spearman column is never read under a task
       // preset, so its rank pass is skipped (Some(Map.empty))
-      val hist = qualHistogram(df, target, quals)
-      val overrides = kruskalByFeature(df, target, quants).view.mapValues(_.etaSq).toMap ++
-        tschuprowtFromHist(hist, quals)
+      val (hist, kru) = concurrently(
+        qualHistogram(df, target, quals),
+        kruskalByFeature(df, target, quants))
+      val overrides = kru.view.mapValues(_.etaSq).toMap ++ tschuprowtFromHist(hist, quals)
       selectWith(df, target, quants, quals, config, overrides,
         Map("quantitative" -> "Kruskal", "categorical" -> "TschuprowT"),
         qualHist = Some(hist), spearmanPre = Some(Map.empty))
@@ -495,14 +501,29 @@ object Selector {
       // the spearman override IS the spearman metric — pass it through
       // instead of re-running the identical rank pass inside
       // quantitativeMetrics
-      val sp = spearmanByFeature(df, target, quants)
+      val (sp, kruRev) = concurrently(
+        spearmanByFeature(df, target, quants),
+        kruskalReversedByFeature(df, target, quals))
       val overrides = sp.view.mapValues(math.abs(_)).toMap ++
-        kruskalReversedByFeature(df, target, quals).view.mapValues(_.etaSq).toMap
+        kruRev.view.mapValues(_.etaSq).toMap
       selectWith(df, target, quants, quals, config, overrides,
         Map("quantitative" -> "Spearman", "categorical" -> "KruskalReversed"),
         spearmanPre = Some(sp))
     case other => throw new IllegalArgumentException(
       s"unknown task '$other' (classification | regression | ordinal)")
+  }
+
+  /** Run two independent job-submitting computations concurrently (the
+    * Spark scheduler interleaves their jobs; results and their uses are
+    * unchanged — guide §2.6's overlap-independent-jobs pattern).
+    */
+  private def concurrently[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val a = Future(fa)
+    val b = Future(fb)
+    (Await.result(a, Duration.Inf), Await.result(b, Duration.Inf))
   }
 
   /** Tschuprow's T per qualitative feature vs the target (classification
@@ -621,17 +642,21 @@ object Selector {
       qualHist: Option[Map[String, Array[BinaryCarver.HistRow]]] = None,
       spearmanPre: Option[Map[String, Double]] = None
   ): Selection = {
-    val qualMetrics = qualHist match {
-      case Some(h) => qualitativeMetricsFromHist(h, quals)
-      case None => qualitativeMetrics(df, target, quals)
-    }
-    val metrics = (quantitativeMetricsWith(df, target, quants, spearmanPre) ++ qualMetrics)
+    // gate metrics and outlier rates are data-independent aggregations over
+    // the same frame — overlapped (guide §2.6); results unchanged
+    val (quantMetrics, (qualMetrics, outliers)) = concurrently(
+      quantitativeMetricsWith(df, target, quants, spearmanPre),
+      concurrently(
+        qualHist match {
+          case Some(h) => qualitativeMetricsFromHist(h, quals)
+          case None => qualitativeMetrics(df, target, quals)
+        },
+        if (config.maxZscoreOutlierRate.nonEmpty || config.maxIqrOutlierRate.nonEmpty)
+          outlierRates(df, quants)
+        else Map.empty: Map[String, OutlierRates]))
+    val metrics = (quantMetrics ++ qualMetrics)
       .values.toVector
       .map(m => assocOverride.get(m.name).fold(m)(a => m.copy(association = a)))
-    val outliers: Map[String, OutlierRates] =
-      if (config.maxZscoreOutlierRate.nonEmpty || config.maxIqrOutlierRate.nonEmpty)
-        outlierRates(df, quants)
-      else Map.empty
     val dropped = Vector.newBuilder[(FeatureRank, String)]
     val gated = metrics.filter { m =>
       val nanOk = m.nanFreq <= config.maxNanFreq
@@ -649,9 +674,12 @@ object Selector {
       nanOk && modeOk && cardOk && zOk && iOk
     }
     // pairwise association matrices over the gated survivors only
+    // (independent per kind — overlapped, §2.6)
     val gatedQuants = gated.filter(_.kind == "quantitative").map(_.name)
     val gatedQuals = gated.filter(_.kind == "categorical").map(_.name)
-    val assoc = quantCorrMatrix(df, gatedQuants) ++ qualPairMatrix(df, gatedQuals)
+    val (quantAssoc, qualAssoc) = concurrently(
+      quantCorrMatrix(df, gatedQuants), qualPairMatrix(df, gatedQuals))
+    val assoc = quantAssoc ++ qualAssoc
 
     // per-kind caps: either the flat nBest, or the largest-remainder split
     // of one total budget (F5)
