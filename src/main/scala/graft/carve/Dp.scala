@@ -234,6 +234,38 @@ object Dp {
       m.getOrElseUpdate(key, compute).asInstanceOf[T]
   }
 
+  /** Dedicated pool for the chi²-style per-k DP runs. The per-feature
+    * searches already run as futures on the global pool and BLOCK on their
+    * DP results; running the nested k-runs on the same bounded pool could
+    * starve it on small machines (all workers blocked awaiting tasks that
+    * cannot get a thread). A cached daemon pool sidesteps that — DP bursts
+    * are short and the pool shrinks back to zero threads when idle.
+    */
+  private lazy val dpPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-dp")
+      t.setDaemon(true)
+      t
+    })
+
+  /** Run the independent per-k computations (k = 2..cap, each its own DP
+    * under a k-dependent segment cost) concurrently and return the results
+    * in ascending-k order — callers append them in that order, so the
+    * output sequence is identical to the former serial loop.
+    */
+  private[carve] def chi2PerK[T](cap: Int)(runK: Int => T): Vector[T] = perKParallel(cap)(runK)
+
+  private def perKParallel[T](cap: Int)(runK: Int => T): Vector[T] = {
+    if (cap < 2) return Vector.empty
+    if (cap == 2) return Vector(runK(2))
+    val futs = (2 to cap).map { k =>
+      val task = new java.util.concurrent.FutureTask[T](() => runK(k))
+      dpPool.execute(task)
+      task
+    }
+    futs.map(_.get()).toVector
+  }
+
   /** Binary chi² top-K DP (`binary_combination_evaluators.py:376-485`):
     * per-k interval DP over the closed-form chi² cell contributions with
     * the `+tol` shift folded into the marginals and Yates iff k==2;
@@ -261,10 +293,14 @@ object Dp {
     val nObs = n0Total + n1Total
 
     // (sortKey, cramerv_q, tt_q, node) — splits materialize only for the
-    // candidates surviving the global sort + take(topK) below
+    // candidates surviving the global sort + take(topK) below. The
+    // per-kGroups segCost (tol marginals + Yates iff k==2) makes each k
+    // its own independent DP; only the k == kGroups row is consumed, so
+    // ask the DP core for its rows and read just the last — and run the
+    // k-runs concurrently (results appended in ascending-k order, so the
+    // emission sequence matches the former serial loop exactly).
     val all = mutable.ArrayBuffer.empty[(Double, Double, Double, Node)]
-    var kGroups = 2
-    while (kGroups <= cap) {
+    perKParallel(cap) { kGroups =>
       val c0 = n0Total + kGroups * tol
       val c1 = n1Total + kGroups * tol
       val nWithTol = n0Total + n1Total + 2.0 * kGroups * tol
@@ -283,12 +319,8 @@ object Dp {
         }
         (obs0 - e0) * (obs0 - e0) / e0 + (obs1 - e1) * (obs1 - e1) / e1
       }
-      // the per-kGroups segCost (tol marginals + Yates iff k==2) makes each
-      // k its own DP; only the k == kGroups row is consumed, so ask the DP
-      // core for its rows and read just the last — the former
-      // topKPartitions call materialized (and discarded) every k < kGroups
-      // row's splits on each pass
-      val entries = topKNodes(nMod, kGroups, segCost, topK, maximize = true)(kGroups)
+      (kGroups, topKNodes(nMod, kGroups, segCost, topK, maximize = true)(kGroups))
+    }.foreach { case (kGroups, entries) =>
       val denom = math.pow(kGroups - 1.0, 0.25)
       entries.foreach { e =>
         val cramervQ = Stats.quantize(math.sqrt(e.cost / nObs), tol)
@@ -296,7 +328,6 @@ object Dp {
         val sortKey = if (sortBy == "tschuprowt") ttQ else cramervQ
         all += ((sortKey, cramervQ, ttQ, e))
       }
-      kGroups += 1
     }
     val top = all.sortBy(-_._1).take(topK)
     top.iterator.map { case (_, cv, tt, e) =>

@@ -75,9 +75,12 @@ object Multiclass {
       i += 1
     }
 
+    // only the k == kGroups row is consumed (per-k segCost); splits
+    // materialize only for the post-sort top-K survivors. The per-k DPs
+    // are independent and run concurrently (ascending-k append keeps the
+    // emission sequence identical to the former serial loop).
     val all = mutable.ArrayBuffer.empty[(Double, Double, Double, Dp.Node)]
-    var kGroups = 2
-    while (kGroups <= cap) {
+    Dp.chi2PerK(cap) { kGroups =>
       val cMarg = colSums.map(_ + kGroups * tol)
       val nWithTol = totalN + kGroups * nClasses * tol
       val yates = kGroups == 2 && nClasses == 2
@@ -99,15 +102,13 @@ object Multiclass {
         }
         acc
       }
-      // only the k == kGroups row is consumed (per-k segCost); splits
-      // materialize only for the post-sort top-K survivors
-      val entries = Dp.topKNodes(nKept, kGroups, segCost, topK, maximize = true)(kGroups)
+      (kGroups, Dp.topKNodes(nKept, kGroups, segCost, topK, maximize = true)(kGroups))
+    }.foreach { case (kGroups, entries) =>
       entries.foreach { e =>
         val (cv, tt) = Stats.cramervTschuprowt(e.cost, totalN, kGroups, nClasses, tol)
         val sortVal = if (sortBy == "tschuprowt") tt else cv
         all += (((if (sortVal.isNaN) Double.NegativeInfinity else sortVal), cv, tt, e))
       }
-      kGroups += 1
     }
     all.sortBy(-_._1).take(topK).iterator.map { case (_, cv, tt, e) =>
       MCand(Ordinal.splitsToCombinationKeep(e.splits, rawIndex, keep), cv, tt)
